@@ -1,0 +1,126 @@
+"""Shared building blocks: dtype policy, LoRA-capable Dense, RMSNorm.
+
+LoRA design: instead of wrapping modules post-hoc (the reference injects
+peft adapters into every torch Linear — finetune.py:832-844), every Dense in
+this framework *natively* supports an optional low-rank delta. When
+``rt.lora_rank > 0`` each Dense owns extra ``lora_a``/``lora_b`` params
+(A ~ N(0, 1/r), B = 0, matching peft's "gaussian" init) and computes
+``y = x @ W + b + scale * (x @ A) @ B``. Freezing the base and training only
+lora/head params is then a pure optimizer-partition concern (train/optim.py),
+and merging is a pure param-tree transform (models/lora.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class Runtime:
+    """Runtime knobs orthogonal to model geometry.
+
+    dtype: activation/compute dtype (bf16 on TPU — MXU native).
+    param_dtype: parameter storage dtype (fp32 master copies by default).
+    attn_impl: 'auto' | 'pallas' | 'xla'.
+    lora_rank/lora_scale: 0 disables LoRA params entirely.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    lora_rank: int = 0
+    lora_scale: float = 1.0
+    remat: bool = False
+
+
+# fp32 everywhere — used for CPU parity tests against reference numerics.
+FP32_RUNTIME = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+
+
+class Dense(nn.Module):
+    """Linear layer with optional fused LoRA path."""
+
+    features: int
+    use_bias: bool = True
+    rt: Runtime = Runtime()
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), self.rt.param_dtype
+        )
+        y = lax.dot_general(
+            x.astype(self.rt.dtype),
+            kernel.astype(self.rt.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.rt.param_dtype
+            )
+            y = y + bias.astype(self.rt.dtype)
+        if self.rt.lora_rank > 0:
+            r = self.rt.lora_rank
+            lora_a = self.param(
+                "lora_a",
+                nn.initializers.normal(stddev=1.0 / r),
+                (in_features, r),
+                self.rt.param_dtype,
+            )
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros, (r, self.features), self.rt.param_dtype
+            )
+            delta = (x.astype(self.rt.dtype) @ lora_a.astype(self.rt.dtype)) @ lora_b.astype(
+                self.rt.dtype
+            )
+            y = y + self.rt.lora_scale * delta
+        return y
+
+
+class RMSNorm(nn.Module):
+    """Qwen2/LLaMA RMSNorm: y = w * x / sqrt(mean(x^2) + eps), fp32 math."""
+
+    eps: float = 1e-6
+    rt: Runtime = Runtime()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), self.rt.param_dtype)
+        xf = x.astype(jnp.float32)
+        xf = xf * lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (xf * scale.astype(jnp.float32)).astype(self.rt.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Standard LayerNorm with fp32 internals (torch-compatible)."""
+
+    eps: float = 1e-6
+    rt: Runtime = Runtime()
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), self.rt.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (dim,), self.rt.param_dtype)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.rt.dtype)
+
+
+def gelu(x: jnp.ndarray, approximate: bool) -> jnp.ndarray:
+    """GELU matching torch nn.GELU(approximate='tanh' if approximate)."""
+    return nn.gelu(x, approximate=approximate)

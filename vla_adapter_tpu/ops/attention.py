@@ -1,0 +1,128 @@
+"""Attention dispatch: Pallas fused kernel on TPU, XLA reference elsewhere.
+
+The public entry point is :func:`dot_product_attention`, taking tensors in
+(B, S, H, D) layout (sequence-major, the layout the rest of the model uses)
+and a per-batch validity vector plus a mode string instead of a materialized
+(S, S) mask — the kernel builds masks from index arithmetic.
+
+Training uses a ``jax.custom_vjp``: the forward runs the Pallas kernel; the
+backward recomputes attention with XLA einsums (flash-style recomputation —
+no (S, S) tensor is saved between fwd and bwd). At VLA sequence lengths
+(<=1024) the recomputed backward is within a few percent of a hand-written
+backward kernel while keeping the code surface small.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vla_adapter_tpu.ops.pallas_attention import fused_attention
+
+NEG_INF = -2.0e9
+
+
+def _supports_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _expand_kv(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """(B, S, Hkv, D) -> (B, S, Hkv*groups, D) by repetition (GQA)."""
+    if groups == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, groups, d)).reshape(
+        b, s, h * groups, d
+    )
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: Optional[jnp.ndarray],
+    *,
+    causal: bool,
+    sm_scale: float,
+) -> jnp.ndarray:
+    """Reference implementation; q (B,S,H,D), k/v (B,S,Hkv,D)."""
+    groups = q.shape[2] // k.shape[2]
+    k = _expand_kv(k, groups)
+    v = _expand_kv(v, groups)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * sm_scale
+    seq = q.shape[1]
+    mask = None
+    if valid is not None:
+        mask = valid.astype(jnp.bool_)[:, None, None, :]
+    if causal:
+        cm = (jnp.arange(seq)[None, :] <= jnp.arange(seq)[:, None])[None, None]
+        mask = cm if mask is None else (mask & cm)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_pallas_trainable(q, k, v, valid, causal, sm_scale):
+    # (B,S,H,D) -> kernel layout (B,H,S,D) and back.
+    out = fused_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        valid,
+        causal=causal,
+        sm_scale=sm_scale,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def _attention_fwd(q, k, v, valid, causal, sm_scale):
+    return _attention_pallas_trainable(q, k, v, valid, causal, sm_scale), (q, k, v, valid)
+
+
+def _attention_bwd(causal, sm_scale, res, g):
+    q, k, v, valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(
+            q_, k_, v_, valid, causal=causal, sm_scale=sm_scale
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention_pallas_trainable.defvjp(_attention_fwd, _attention_bwd)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head (optionally grouped-query) attention.
+
+    q: (B, S, H, D); k, v: (B, S, Hkv, D); valid: (B, S) True=real token.
+    impl: 'auto' | 'pallas' | 'xla'.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "pallas" if _supports_pallas() else "xla"
+    if impl == "pallas":
+        return _attention_pallas_trainable(q, k, v, valid, causal, sm_scale)
+    return xla_attention(q, k, v, valid, causal=causal, sm_scale=sm_scale)

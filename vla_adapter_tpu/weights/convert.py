@@ -1,0 +1,185 @@
+"""Checkpoint ingestion: torch/HF/timm layouts -> this framework's params.
+
+Three source layouts matter (SURVEY.md section 1):
+  * HF ``Qwen2ForCausalLM`` state dicts (the language model),
+  * timm ViT state dicts (DINOv2 / SigLIP towers),
+  * the reference's exported OpenVLA checkpoint, which is the HF layout
+    after the rename map applied in reference finetune.py:792-815
+    (dino_featurizer->featurizer, siglip_featurizer->fused_featurizer,
+    llm_backbone.llm->language_model, projector.projector.{0,2,4}->fc{1,2,3},
+    gamma->scale_factor).
+
+All converters take a flat ``{name: np.ndarray}`` dict (call
+:func:`state_dict_to_numpy` on a torch state dict first) so torch never has
+to be imported on the TPU host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from vla_adapter_tpu.core.config import Qwen2Config, ViTConfig
+
+
+def state_dict_to_numpy(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Convert a torch state dict to numpy (fp32 for bf16/fp16 tensors)."""
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach()
+            if str(v.dtype) in ("torch.bfloat16", "torch.float16"):
+                v = v.float()
+            v = v.cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _stack(sd: Dict[str, np.ndarray], fmt: str, num_layers: int, transpose: bool):
+    mats = [sd[fmt.format(i)] for i in range(num_layers)]
+    if transpose:
+        mats = [m.T for m in mats]
+    return np.stack(mats, axis=0)
+
+
+def qwen2_params_from_hf(
+    sd: Dict[str, np.ndarray], cfg: Qwen2Config, prefix: str = "model."
+) -> Dict[str, Any]:
+    """HF Qwen2ForCausalLM state dict -> Qwen2Model params (scan-stacked).
+
+    Dense kernels are transposed to (in, out); per-layer tensors are stacked
+    on a leading `layers` axis matching nn.scan.
+    """
+    L = cfg.num_layers
+    p = prefix
+
+    def lin(name: str, bias: bool):
+        d = {"kernel": _stack(sd, f"{p}layers.{{}}.{name}.weight".format("{}"), L, True)}
+        if bias:
+            d["bias"] = _stack(sd, f"{p}layers.{{}}.{name}.bias".format("{}"), L, False)
+        return d
+
+    attn_bias = cfg.attention_bias
+    layer = {
+        "self_attn": {
+            "q_proj": lin("self_attn.q_proj", attn_bias),
+            "k_proj": lin("self_attn.k_proj", attn_bias),
+            "v_proj": lin("self_attn.v_proj", attn_bias),
+            "o_proj": lin("self_attn.o_proj", False),
+        },
+        "mlp": {
+            "gate_proj": lin("mlp.gate_proj", False),
+            "up_proj": lin("mlp.up_proj", False),
+            "down_proj": lin("mlp.down_proj", False),
+        },
+        "input_layernorm": {
+            "scale": _stack(sd, p + "layers.{}.input_layernorm.weight", L, False)
+        },
+        "post_attention_layernorm": {
+            "scale": _stack(sd, p + "layers.{}.post_attention_layernorm.weight", L, False)
+        },
+    }
+    return {
+        "embed_tokens": sd[p + "embed_tokens.weight"],
+        "layers": {"layer": layer},
+        "norm": {"scale": sd[p + "norm.weight"]},
+    }
+
+
+def vit_params_from_timm(
+    sd: Dict[str, np.ndarray], cfg: ViTConfig, prefix: str = ""
+) -> Dict[str, Any]:
+    """timm VisionTransformer state dict -> models/vit.py params.
+
+    timm layout: patch_embed.proj.{weight (E,3,ph,pw), bias}, cls_token,
+    reg_token, pos_embed, blocks.{i}.norm1/attn.qkv/attn.proj/norm2/
+    mlp.fc1/mlp.fc2[/ls1.gamma, ls2.gamma].
+    """
+    L = cfg.num_layers
+    p = prefix
+    E = cfg.hidden_size
+
+    def block_lin(name, out_of):
+        return {
+            "kernel": _stack(sd, f"{p}blocks.{{}}.{name}.weight".format("{}"), L, True),
+            "bias": _stack(sd, f"{p}blocks.{{}}.{name}.bias".format("{}"), L, False),
+        }
+
+    # timm fuses qkv: (3E, E). Split into q/k/v kernels (E, E) each.
+    qkv_w = np.stack([sd[f"{p}blocks.{i}.attn.qkv.weight"] for i in range(L)], 0)
+    qkv_b = np.stack([sd[f"{p}blocks.{i}.attn.qkv.bias"] for i in range(L)], 0)
+    q_w, k_w, v_w = np.split(qkv_w, 3, axis=1)
+    q_b, k_b, v_b = np.split(qkv_b, 3, axis=1)
+
+    def ln(name):
+        return {
+            "scale": _stack(sd, p + "blocks.{}." + name + ".weight", L, False),
+            "bias": _stack(sd, p + "blocks.{}." + name + ".bias", L, False),
+        }
+
+    block = {
+        "norm1": ln("norm1"),
+        "attn": {
+            "q_proj": {"kernel": np.swapaxes(q_w, 1, 2), "bias": q_b},
+            "k_proj": {"kernel": np.swapaxes(k_w, 1, 2), "bias": k_b},
+            "v_proj": {"kernel": np.swapaxes(v_w, 1, 2), "bias": v_b},
+            "out_proj": block_lin("attn.proj", E),
+        },
+        "norm2": ln("norm2"),
+        "mlp": {"fc1": block_lin("mlp.fc1", None), "fc2": block_lin("mlp.fc2", None)},
+    }
+    if cfg.layer_scale_init is not None:
+        # timm LayerScale param is `gamma`; the HF export renames it to
+        # `scale_factor` (reference modeling_prismatic.py:55-66). Accept both.
+        def ls(name):
+            key_a = p + "blocks.{}." + name + ".gamma"
+            key_b = p + "blocks.{}." + name + ".scale_factor"
+            key = key_a if key_a.format(0) in sd else key_b
+            return {"gamma": _stack(sd, key, L, False)}
+
+        block["ls1"] = ls("ls1")
+        block["ls2"] = ls("ls2")
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            # torch conv (E, C, kh, kw) -> flax conv (kh, kw, C, E)
+            "kernel": np.transpose(sd[p + "patch_embed.proj.weight"], (2, 3, 1, 0)),
+            "bias": sd[p + "patch_embed.proj.bias"],
+        },
+        "pos_embed": sd[p + "pos_embed"],
+        "blocks": {"block": block},
+        "norm": {
+            "scale": sd[p + "norm.weight"],
+            "bias": sd[p + "norm.bias"],
+        },
+    }
+    if cfg.use_cls_token:
+        params["cls_token"] = sd[p + "cls_token"]
+    if cfg.num_register_tokens:
+        params["reg_token"] = sd[p + "reg_token"]
+    return params
+
+
+# The rename map applied by reference finetune.py:792-815 when loading the
+# native Prismatic checkpoint into the HF module layout. Our canonical
+# ingestion target is the HF layout, so native checkpoints are first mapped
+# through this table (substring replacements, applied in order).
+NATIVE_TO_HF_RENAMES = (
+    ("vision_backbone.dino_featurizer", "vision_backbone.featurizer"),
+    ("vision_backbone.siglip_featurizer", "vision_backbone.fused_featurizer"),
+    ("llm_backbone.llm", "language_model"),
+    ("projector.projector.0", "projector.fc1"),
+    ("projector.projector.2", "projector.fc2"),
+    ("projector.projector.4", "projector.fc3"),
+    ("gamma", "scale_factor"),
+)
+
+
+def native_prismatic_to_hf(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        for a, b in NATIVE_TO_HF_RENAMES:
+            k = k.replace(a, b)
+        out[k] = v
+    return out
