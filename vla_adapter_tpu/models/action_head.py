@@ -1,0 +1,228 @@
+"""Bridge-attention action head (the VLA-Adapter contribution).
+
+Re-implements reference prismatic/models/action_heads.py as scanned flax
+modules. Architecture (reference lines cited per class):
+
+  L1RegressionActionHead.predict_action (action_heads.py:43-81):
+    input: per-layer VLM hidden states stacked (B, L+1, 512+64, D)
+           (512 "task" positions = [token0 + vision patches], 64 action-query
+           positions; see models/vla.py for the extraction quirks)
+    chunk latents: zeros (B, chunk, action_dim*D) (+ fresh N(0, 0.02) noise
+           each training step — reference `learnable_random_perturbations`
+           is re-created per call and never optimizer-registered, i.e. pure
+           noise injection, action_heads.py:14-17,69-72)
+    24 blocks, block i conditioned on hidden-state entry i+1
+           (action_heads.py:117-118)
+
+  Block (original, action_heads.py:168-283): one shared q/k/v/o projection;
+    keys/values = [self(chunk), adapter(64 action states + 1 proprio token),
+    task(512)]; a zero-init tanh gate scales the *task*-stream logits;
+    softmax over the concatenated logits; then x = ffn(attn_out + x) where
+    ffn = LN -> Linear -> ReLU (NOTE: no second residual — faithful).
+
+  Block (Pro, action_heads.py:287-410): separate K/V per stream, RoPE
+    applied per stream (interleaved-pair rotation with duplicated-halves
+    cos/sin table — see ops/rope.py), same gate on the task stream, same
+    ffn. The reference's dead `film_gen` branch is dropped (checkpoint
+    ingestion ignores those params).
+
+All three K/V streams are concatenated into a single attention so the MXU
+sees one (chunk x 577) score matrix per head per block.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vla_adapter_tpu.core.config import ActionHeadConfig
+from vla_adapter_tpu.models.layers import Dense, LayerNorm, Runtime
+from vla_adapter_tpu.ops.rope import apply_rope_interleaved, interleaved_cos_sin
+
+
+def _heads(t: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, S, D) -> (B, H, S, d)."""
+    b, s, _ = t.shape
+    return t.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge(t: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, S, d) -> (B, S, D)."""
+    b, h, s, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class _BridgeBlockBase(nn.Module):
+    cfg: ActionHeadConfig
+    rt: Runtime
+
+    def _attend(self, q, streams, gate_on_last: jnp.ndarray):
+        """q: (B,H,T,d); streams: [(k, v), ...] with gate applied to the
+        last stream's logits. Returns (B, T, D)."""
+        d = q.shape[-1]
+        logits = []
+        values = []
+        for i, (k, v) in enumerate(streams):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            if i == len(streams) - 1:
+                s = s * gate_on_last
+            logits.append(s)
+            values.append(v)
+        scores = jnp.concatenate(logits, axis=-1) / jnp.sqrt(
+            jnp.asarray(d, jnp.float32)
+        ).astype(q.dtype)
+        p = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, jnp.concatenate(values, axis=2))
+        return _merge(out)
+
+    def _ffn(self, x):
+        h = LayerNorm(rt=self.rt, eps=1e-5, name="ffn_norm")(x)
+        h = Dense(self.cfg.hidden_dim, rt=self.rt, name="ffn_fc")(h)
+        return nn.relu(h)
+
+
+class BridgeBlock(_BridgeBlockBase):
+    """Original block: shared q/k/v projections across streams."""
+
+    @nn.compact
+    def __call__(self, x, h_task, h_adapter):
+        cfg, rt = self.cfg, self.rt
+        H = cfg.num_attn_heads
+        gate = self.param("gating_factor", nn.initializers.zeros, (1,), rt.param_dtype)
+        ratio_g = jnp.tanh(gate.astype(rt.dtype))
+
+        q_proj = Dense(cfg.hidden_dim, rt=rt, name="q_proj")
+        k_proj = Dense(cfg.hidden_dim, rt=rt, name="k_proj")
+        v_proj = Dense(cfg.hidden_dim, rt=rt, name="v_proj")
+
+        q = _heads(q_proj(x), H)
+        streams = [
+            (_heads(k_proj(x), H), _heads(v_proj(x), H)),              # self
+            (_heads(k_proj(h_adapter), H), _heads(v_proj(h_adapter), H)),  # adapter
+            (_heads(k_proj(h_task), H), _heads(v_proj(h_task), H)),    # task (gated)
+        ]
+        out = self._attend(q, streams, ratio_g)
+        out = Dense(cfg.hidden_dim, rt=rt, name="o_proj")(out)
+        return self._ffn(out + x)
+
+
+class BridgeBlockPro(_BridgeBlockBase):
+    """Pro block: per-stream K/V projections + per-stream RoPE."""
+
+    @nn.compact
+    def __call__(self, x, h_task, h_adapter):
+        cfg, rt = self.cfg, self.rt
+        H = cfg.num_attn_heads
+        head_dim = cfg.hidden_dim // H
+        gate = self.param("gating_factor", nn.initializers.zeros, (1,), rt.param_dtype)
+        ratio_g = jnp.tanh(gate.astype(rt.dtype))
+
+        q = _heads(Dense(cfg.hidden_dim, rt=rt, name="q_proj")(x), H)
+        k_self = _heads(Dense(cfg.hidden_dim, rt=rt, name="k_self")(x), H)
+        v_self = _heads(Dense(cfg.hidden_dim, rt=rt, name="v_self")(x), H)
+        k_adapter = _heads(Dense(cfg.hidden_dim, rt=rt, name="k_adapter")(h_adapter), H)
+        v_adapter = _heads(Dense(cfg.hidden_dim, rt=rt, name="v_adapter")(h_adapter), H)
+        k_task = _heads(Dense(cfg.hidden_dim, rt=rt, name="k_task")(h_task), H)
+        v_task = _heads(Dense(cfg.hidden_dim, rt=rt, name="v_task")(h_task), H)
+
+        def rope(t):
+            cos, sin = interleaved_cos_sin(
+                t.shape[2], head_dim, cfg.rope_base, dtype=jnp.float32
+            )
+            return apply_rope_interleaved(
+                t.astype(jnp.float32), cos[None, None], sin[None, None]
+            ).astype(t.dtype)
+
+        q, k_self = rope(q), rope(k_self)
+        k_adapter = rope(k_adapter)
+        k_task = rope(k_task)
+
+        streams = [(k_self, v_self), (k_adapter, v_adapter), (k_task, v_task)]
+        out = self._attend(q, streams, ratio_g)
+        out = Dense(cfg.hidden_dim, rt=rt, name="o_proj")(out)
+        return self._ffn(out + x)
+
+
+class _BlockScan(nn.Module):
+    """Scan body: carry = chunk latents, xs = per-layer (task, adapter)."""
+
+    cfg: ActionHeadConfig
+    rt: Runtime
+
+    @nn.compact
+    def __call__(self, carry, h_task, h_adapter):
+        cls = BridgeBlockPro if self.cfg.use_pro_version else BridgeBlock
+        out = cls(self.cfg, self.rt, name="block")(carry, h_task, h_adapter)
+        return out, None
+
+
+class L1RegressionActionHead(nn.Module):
+    """Regress the normalized action chunk from per-layer VLM hidden states.
+
+    __call__ args:
+      hidden_states: (B, L+1, num_task_tokens + num_action_tokens, D)
+      proprio_features: (B, 1, D) — already projected (models/projector.py)
+      train: adds fresh N(0, train_noise_std) to the zero chunk latents
+             (requires a "noise" rng)
+    Returns (B, num_actions_chunk, action_dim) in rt.dtype.
+    """
+
+    cfg: ActionHeadConfig
+    action_dim: int
+    num_actions_chunk: int
+    num_task_tokens: int = 512
+    rt: Runtime = Runtime()
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        proprio_features: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg, rt = self.cfg, self.rt
+        b = hidden_states.shape[0]
+        llm_dim = hidden_states.shape[-1]
+        num_blocks = cfg.num_blocks
+
+        h_task = hidden_states[:, 1 : num_blocks + 1, : self.num_task_tokens]
+        h_action = hidden_states[:, 1 : num_blocks + 1, self.num_task_tokens :]
+        if proprio_features is not None:
+            # proprio token appended to the action-state stream per block
+            # (reference action_heads.py:347: cat((h_a, p), dim=1))
+            p = jnp.broadcast_to(
+                proprio_features[:, None],
+                (b, num_blocks, 1, llm_dim),
+            ).astype(rt.dtype)
+            h_adapter = jnp.concatenate([h_action.astype(rt.dtype), p], axis=2)
+        else:
+            h_adapter = h_action.astype(rt.dtype)
+
+        x = jnp.zeros(
+            (b, self.num_actions_chunk, self.action_dim * llm_dim), rt.dtype
+        )
+        if train and cfg.train_noise_std > 0:
+            noise = cfg.train_noise_std * jax.random.normal(
+                self.make_rng("noise"), x.shape[1:], jnp.float32
+            )
+            x = x + noise.astype(rt.dtype)
+
+        x = LayerNorm(rt=rt, eps=1e-5, name="input_norm")(x)
+        x = Dense(cfg.hidden_dim, rt=rt, name="fc_in")(x)
+        x = nn.relu(x)
+
+        scanned = nn.scan(
+            _BlockScan,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=num_blocks,
+            in_axes=(1, 1),  # scan over the layer axis of conditioning
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )(cfg=cfg, rt=rt, name="blocks")
+        x, _ = scanned(x, h_task.astype(rt.dtype), h_adapter)
+
+        x = LayerNorm(rt=rt, eps=1e-5, name="out_norm")(x)
+        return Dense(self.action_dim, rt=rt, name="fc_out")(x)

@@ -1,0 +1,185 @@
+"""Vision transformers (DINOv2-reg4 / SigLIP variants), TPU-first.
+
+Replicates the timm `VisionTransformer` semantics the reference relies on
+(reference: modeling_prismatic.py:120-144 creates timm towers and
+monkey-patches forward to ``get_intermediate_layers(n={len(blocks)-2})``):
+
+  * patch conv -> (B, N, E) tokens
+  * positional embedding: added to patch tokens only when
+    ``pos_embed_patches_only`` (timm `no_embed_class`, the DINOv2-reg4
+    convention), else to the full token sequence (SigLIP);
+    cls + register tokens are prepended after/before accordingly
+  * pre-norm blocks with optional LayerScale
+  * the feature tap is the raw output of block ``feature_layer``
+    (second-to-last by default) with **no final norm** and prefix tokens
+    stripped — exactly timm's ``get_intermediate_layers`` default.
+
+TPU-first deviation: blocks after the tap are never executed — the
+reference runs the full tower and discards everything past the tap (timm
+`_intermediate_layers` loops over all blocks). We simply do not materialize
+those parameters (weights/convert.py drops them on import), saving one
+block of FLOPs and memory per tower with bit-identical outputs.
+
+Blocks are stacked with ``nn.scan`` (single compiled body).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Type
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vla_adapter_tpu.core.config import ViTConfig
+from vla_adapter_tpu.models.layers import Dense, LayerNorm, Runtime, gelu
+from vla_adapter_tpu.ops.attention import dot_product_attention
+
+
+class ViTAttention(nn.Module):
+    cfg: ViTConfig
+    rt: Runtime
+
+    @nn.compact
+    def __call__(self, x):
+        cfg, rt = self.cfg, self.rt
+        b, n, _ = x.shape
+        h, d = cfg.num_heads, cfg.head_dim
+        q = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="q_proj")(x)
+        k = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="k_proj")(x)
+        v = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="v_proj")(x)
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
+        out = dot_product_attention(q, k, v, None, causal=False, impl=rt.attn_impl)
+        out = out.reshape(b, n, h * d)
+        return Dense(cfg.hidden_size, rt=rt, name="out_proj")(out)
+
+
+class ViTMLP(nn.Module):
+    cfg: ViTConfig
+    rt: Runtime
+
+    @nn.compact
+    def __call__(self, x):
+        cfg, rt = self.cfg, self.rt
+        x = Dense(cfg.mlp_dim, rt=rt, name="fc1")(x)
+        x = gelu(x, approximate=(cfg.mlp_activation == "gelu_tanh"))
+        return Dense(cfg.hidden_size, rt=rt, name="fc2")(x)
+
+
+class LayerScale(nn.Module):
+    rt: Runtime
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.ones, (x.shape[-1],), self.rt.param_dtype
+        )
+        return x * gamma.astype(self.rt.dtype)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+    rt: Runtime
+
+    @nn.compact
+    def __call__(self, x):
+        cfg, rt = self.cfg, self.rt
+        h = ViTAttention(cfg, rt, name="attn")(
+            LayerNorm(cfg.layernorm_eps, rt=rt, name="norm1")(x)
+        )
+        if cfg.layer_scale_init is not None:
+            h = LayerScale(rt, name="ls1")(h)
+        x = x + h
+        h = ViTMLP(cfg, rt, name="mlp")(
+            LayerNorm(cfg.layernorm_eps, rt=rt, name="norm2")(x)
+        )
+        if cfg.layer_scale_init is not None:
+            h = LayerScale(rt, name="ls2")(h)
+        return x + h
+
+
+class _BlockScanBody(nn.Module):
+    cfg: ViTConfig
+    rt: Runtime
+    block_cls: Type[nn.Module]
+
+    @nn.compact
+    def __call__(self, carry):
+        return self.block_cls(self.cfg, self.rt, name="block")(carry), None
+
+
+class VisionTransformer(nn.Module):
+    """Feature extractor: images (B, H, W, 3) NHWC -> (B, N_patches, E).
+
+    The returned features are the tap described in the module docstring.
+    """
+
+    cfg: ViTConfig
+    rt: Runtime = Runtime()
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg, rt = self.cfg, self.rt
+        b = images.shape[0]
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=rt.dtype,
+            param_dtype=rt.param_dtype,
+            name="patch_embed",
+        )(images.astype(rt.dtype))
+        x = x.reshape(b, -1, cfg.hidden_size)  # (B, N, E) row-major == timm flatten
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.num_patches if cfg.pos_embed_patches_only
+             else cfg.num_patches + cfg.num_prefix_tokens, cfg.hidden_size),
+            rt.param_dtype,
+        )
+
+        prefix = []
+        if cfg.use_cls_token:
+            cls = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size),
+                rt.param_dtype,
+            )
+            prefix.append(jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)))
+        if cfg.num_register_tokens:
+            reg = self.param(
+                "reg_token",
+                nn.initializers.zeros,
+                (1, cfg.num_register_tokens, cfg.hidden_size),
+                rt.param_dtype,
+            )
+            prefix.append(
+                jnp.broadcast_to(reg, (b, cfg.num_register_tokens, cfg.hidden_size))
+            )
+
+        if cfg.pos_embed_patches_only:
+            x = x + pos_embed.astype(rt.dtype)
+            if prefix:
+                x = jnp.concatenate(
+                    [jnp.concatenate(prefix, axis=1).astype(rt.dtype), x], axis=1
+                )
+        else:
+            if prefix:
+                x = jnp.concatenate(
+                    [jnp.concatenate(prefix, axis=1).astype(rt.dtype), x], axis=1
+                )
+            x = x + pos_embed.astype(rt.dtype)
+
+        num_blocks = cfg.resolved_feature_layer + 1
+        scanned = nn.scan(
+            _BlockScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=num_blocks,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )(cfg=cfg, rt=rt, block_cls=ViTBlock, name="blocks")
+        x, _ = scanned(x)
+
+        return x[:, cfg.num_prefix_tokens:]

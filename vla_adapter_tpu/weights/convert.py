@@ -55,9 +55,9 @@ def qwen2_params_from_hf(
     p = prefix
 
     def lin(name: str, bias: bool):
-        d = {"kernel": _stack(sd, f"{p}layers.{{}}.{name}.weight".format("{}"), L, True)}
+        d = {"kernel": _stack(sd, p + "layers.{}." + name + ".weight", L, True)}
         if bias:
-            d["bias"] = _stack(sd, f"{p}layers.{{}}.{name}.bias".format("{}"), L, False)
+            d["bias"] = _stack(sd, p + "layers.{}." + name + ".bias", L, False)
         return d
 
     attn_bias = cfg.attention_bias
@@ -95,15 +95,18 @@ def vit_params_from_timm(
     timm layout: patch_embed.proj.{weight (E,3,ph,pw), bias}, cls_token,
     reg_token, pos_embed, blocks.{i}.norm1/attn.qkv/attn.proj/norm2/
     mlp.fc1/mlp.fc2[/ls1.gamma, ls2.gamma].
-    """
-    L = cfg.num_layers
-    p = prefix
-    E = cfg.hidden_size
 
-    def block_lin(name, out_of):
+    Only blocks 0..feature_layer are imported — blocks past the feature tap
+    (and the final norm) are never executed by models/vit.py, matching the
+    reference's discard-after-tap behavior with fewer FLOPs.
+    """
+    L = cfg.resolved_feature_layer + 1
+    p = prefix
+
+    def block_lin(name):
         return {
-            "kernel": _stack(sd, f"{p}blocks.{{}}.{name}.weight".format("{}"), L, True),
-            "bias": _stack(sd, f"{p}blocks.{{}}.{name}.bias".format("{}"), L, False),
+            "kernel": _stack(sd, p + "blocks.{}." + name + ".weight", L, True),
+            "bias": _stack(sd, p + "blocks.{}." + name + ".bias", L, False),
         }
 
     # timm fuses qkv: (3E, E). Split into q/k/v kernels (E, E) each.
@@ -124,10 +127,10 @@ def vit_params_from_timm(
             "q_proj": {"kernel": np.swapaxes(q_w, 1, 2), "bias": q_b},
             "k_proj": {"kernel": np.swapaxes(k_w, 1, 2), "bias": k_b},
             "v_proj": {"kernel": np.swapaxes(v_w, 1, 2), "bias": v_b},
-            "out_proj": block_lin("attn.proj", E),
+            "out_proj": block_lin("attn.proj"),
         },
         "norm2": ln("norm2"),
-        "mlp": {"fc1": block_lin("mlp.fc1", None), "fc2": block_lin("mlp.fc2", None)},
+        "mlp": {"fc1": block_lin("mlp.fc1"), "fc2": block_lin("mlp.fc2")},
     }
     if cfg.layer_scale_init is not None:
         # timm LayerScale param is `gamma`; the HF export renames it to
@@ -149,16 +152,66 @@ def vit_params_from_timm(
         },
         "pos_embed": sd[p + "pos_embed"],
         "blocks": {"block": block},
-        "norm": {
-            "scale": sd[p + "norm.weight"],
-            "bias": sd[p + "norm.bias"],
-        },
     }
     if cfg.use_cls_token:
         params["cls_token"] = sd[p + "cls_token"]
     if cfg.num_register_tokens:
         params["reg_token"] = sd[p + "reg_token"]
     return params
+
+
+def _lin(sd, name):
+    return {"kernel": sd[name + ".weight"].T, "bias": sd[name + ".bias"]}
+
+
+def _ln(sd, name):
+    return {"scale": sd[name + ".weight"], "bias": sd[name + ".bias"]}
+
+
+def mlp_projector_params_from_torch(
+    sd: Dict[str, np.ndarray], names=("fc1", "fc2"), prefix: str = ""
+) -> Dict[str, Any]:
+    """fcN-style MLP (vision/proprio/noisy-action projectors)."""
+    return {n: _lin(sd, prefix + n) for n in names}
+
+
+def action_head_params_from_torch(
+    sd: Dict[str, np.ndarray], num_blocks: int, use_pro_version: bool,
+    prefix: str = "model.",
+) -> Dict[str, Any]:
+    """Reference L1RegressionActionHead state dict -> models/action_head.py.
+
+    torch layout (action_heads.py:84-410): {prefix}layer_norm1/fc1/
+    mlp_resnet_blocks.{i}.*/layer_norm2/fc2. The Pro blocks' dead `film_gen`
+    params (action_heads.py:327-334) are ignored; `rope.inv_freq` is a
+    non-persistent buffer and never appears in checkpoints.
+    """
+    p = prefix
+
+    def blk(fmt: str, transpose=True):
+        return _stack(sd, p + "mlp_resnet_blocks.{}." + fmt, num_blocks, transpose)
+
+    def blk_lin(name: str):
+        return {"kernel": blk(name + ".weight"), "bias": blk(name + ".bias", False)}
+
+    if use_pro_version:
+        names = ("q_proj", "k_self", "v_self", "k_adapter", "v_adapter",
+                 "k_task", "v_task", "o_proj")
+    else:
+        names = ("q_proj", "k_proj", "v_proj", "o_proj")
+    block: Dict[str, Any] = {n: blk_lin(n) for n in names}
+    block["gating_factor"] = blk("gating_factor", False)
+    block["ffn_norm"] = {"scale": blk("ffn.0.weight", False),
+                         "bias": blk("ffn.0.bias", False)}
+    block["ffn_fc"] = {"kernel": blk("ffn.1.weight"), "bias": blk("ffn.1.bias", False)}
+
+    return {
+        "input_norm": _ln(sd, p + "layer_norm1"),
+        "fc_in": _lin(sd, p + "fc1"),
+        "blocks": {"block": block},
+        "out_norm": _ln(sd, p + "layer_norm2"),
+        "fc_out": _lin(sd, p + "fc2"),
+    }
 
 
 # The rename map applied by reference finetune.py:792-815 when loading the
