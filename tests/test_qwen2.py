@@ -142,7 +142,7 @@ def test_qwen2_inputs_embeds(hf_model, jx_params):
     model = Qwen2Model(TINY, FP32_RUNTIME)
     out_ids = model.apply(jx_params, input_ids=jnp.asarray(ids), causal=False)
     embeds = jnp.take(
-        jx_params["params"]["embed_tokens"], jnp.asarray(ids), axis=0
+        jx_params["params"]["embed"]["embedding"], jnp.asarray(ids), axis=0
     )
     out_emb = model.apply(jx_params, inputs_embeds=embeds, causal=False)
     np.testing.assert_allclose(

@@ -196,6 +196,8 @@ class VLAConfig:
     """Top-level model config for OpenVLA-style action prediction."""
 
     platform: str = "libero"
+    # Overrides the registry lookup (tests / custom robots).
+    custom_constants: Optional[PlatformConstants] = None
     vision: FusedVisionConfig = FusedVisionConfig()
     llm: Qwen2Config = QWEN25_0_5B
     head: ActionHeadConfig = ActionHeadConfig()
@@ -212,6 +214,8 @@ class VLAConfig:
 
     @property
     def constants(self) -> PlatformConstants:
+        if self.custom_constants is not None:
+            return self.custom_constants
         return get_platform(self.platform)
 
     @property

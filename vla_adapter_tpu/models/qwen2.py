@@ -118,6 +118,23 @@ class Qwen2Model(nn.Module):
     cfg: Qwen2Config
     rt: Runtime = Runtime()
 
+    def setup(self):
+        # Defined in setup (not compact) so `embed_tokens` below is callable
+        # from outside __call__ — the VLA model embeds text, splices in the
+        # action queries and vision patches, then runs the decoder on the
+        # result while keeping the table tied for the lm head.
+        self.embed = nn.Embed(
+            self.cfg.vocab_size,
+            self.cfg.hidden_size,
+            dtype=self.rt.dtype,
+            param_dtype=self.rt.param_dtype,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+        )
+
+    def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) ids -> (B, S, D) embeddings (shared/tied table)."""
+        return self.embed(input_ids)
+
     @nn.compact
     def __call__(
         self,
@@ -130,14 +147,8 @@ class Qwen2Model(nn.Module):
         compute_logits: bool = False,
     ):
         cfg, rt = self.cfg, self.rt
-        embed = self.param(
-            "embed_tokens",
-            nn.initializers.normal(stddev=0.02),
-            (cfg.vocab_size, cfg.hidden_size),
-            rt.param_dtype,
-        )
         if inputs_embeds is None:
-            inputs_embeds = jnp.take(embed, input_ids, axis=0)
+            inputs_embeds = self.embed(input_ids)
         x = inputs_embeds.astype(rt.dtype)
         seq_len = x.shape[1]
 
@@ -172,5 +183,5 @@ class Qwen2Model(nn.Module):
             hs = jnp.concatenate([hs, final[:, None]], axis=1)  # (B, L+1, S, D)
             out["hidden_states"] = hs
         if compute_logits:
-            out["logits"] = jnp.einsum("bsd,vd->bsv", final, embed.astype(rt.dtype))
+            out["logits"] = self.embed.attend(final)  # tied lm head
         return out

@@ -81,7 +81,7 @@ def qwen2_params_from_hf(
         },
     }
     return {
-        "embed_tokens": sd[p + "embed_tokens.weight"],
+        "embed": {"embedding": sd[p + "embed_tokens.weight"]},
         "layers": {"layer": layer},
         "norm": {"scale": sd[p + "norm.weight"]},
     }
@@ -157,6 +157,55 @@ def vit_params_from_timm(
         params["cls_token"] = sd[p + "cls_token"]
     if cfg.num_register_tokens:
         params["reg_token"] = sd[p + "reg_token"]
+    return params
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Drop a leading prefix (e.g. DDP's 'module.') from every key that has
+    it (reference: finetune.py:132-211 remove_ddp_in_checkpoint)."""
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v for k, v in sd.items()
+    }
+
+
+def vla_params_from_hf(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Full OpenVLA HF-layout state dict -> models/vla.py param tree.
+
+    Expected key families (the layout of the reference's exported
+    checkpoints, after LoRA merge):
+      vision_backbone.featurizer.* / vision_backbone.fused_featurizer.*
+      projector.fc{1,2,3}.*
+      language_model.model.*   (lm_head tied — ignored)
+      action_queries.weight
+
+    The action head and proprio projector live in separate checkpoint files
+    (reference finetune.py:494-601) — load them with
+    action_head_params_from_torch / mlp_projector_params_from_torch.
+    """
+    from vla_adapter_tpu.core.config import VLAConfig  # local to avoid cycle
+
+    assert isinstance(cfg, VLAConfig)
+    params: Dict[str, Any] = {
+        "language_model": qwen2_params_from_hf(
+            sd, cfg.llm, prefix="language_model.model."
+        ),
+        "action_queries": sd["action_queries.weight"],
+        "vision_backbone": {
+            "featurizer": vit_params_from_timm(
+                sd, cfg.vision.primary, prefix="vision_backbone.featurizer."
+            ),
+        },
+    }
+    if cfg.vision.fused is not None:
+        params["vision_backbone"]["fused_featurizer"] = vit_params_from_timm(
+            sd, cfg.vision.fused, prefix="vision_backbone.fused_featurizer."
+        )
+        proj_names = ("fc1", "fc2", "fc3")
+    else:
+        proj_names = ("fc1", "fc2")
+    params["projector"] = mlp_projector_params_from_torch(
+        sd, names=proj_names, prefix="projector."
+    )
     return params
 
 
