@@ -1,0 +1,210 @@
+"""Train-step tests: loss decreases, LoRA partitioning, multi-device mesh.
+
+SURVEY.md section 4: the reference has no unit tests; its smoke path is a
+DummyDataset train loop. We add that plus what it lacks — a multi-device
+sharding test on the 8-device CPU fake cluster.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vla_adapter_tpu.core.config import (
+    ActionHeadConfig,
+    FusedVisionConfig,
+    OptimizerConfig,
+    Qwen2Config,
+    TrainConfig,
+    ViTConfig,
+    VLAConfig,
+)
+from vla_adapter_tpu.core.constants import NormalizationType, PlatformConstants
+from vla_adapter_tpu.data.dummy import DummyDataset, make_dummy_batch
+from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.vla import VLAModel
+from vla_adapter_tpu.parallel.sharding import (
+    create_mesh,
+    params_shardings,
+    shard_batch,
+    shard_params,
+)
+from vla_adapter_tpu.train.optim import make_optimizer
+from vla_adapter_tpu.train.partition import merge_trees, split_trainable
+from vla_adapter_tpu.train.step import TrainState, init_train_state, make_train_step
+
+TINY_CFG = VLAConfig(
+    platform="libero",
+    custom_constants=PlatformConstants(
+        name="test", num_actions_chunk=8, action_dim=7, proprio_dim=8,
+        normalization_type=NormalizationType.BOUNDS_Q99,
+        num_action_query_tokens=16,
+    ),
+    vision=FusedVisionConfig(
+        primary=ViTConfig(name="p", image_size=28, patch_size=14, hidden_size=32,
+                          num_layers=3, num_heads=4, mlp_dim=64,
+                          use_cls_token=True, num_register_tokens=2,
+                          pos_embed_patches_only=True, layer_scale_init=1e-5),
+        fused=None,
+        num_images=2,
+    ),
+    llm=Qwen2Config(vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+                    num_kv_heads=2, intermediate_size=128, head_dim=16),
+    head=ActionHeadConfig(num_blocks=4, hidden_dim=64, use_pro_version=True),
+    max_text_tokens=32,
+)
+
+
+def _setup(lora_rank, accum=1, batch_size=4):
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
+                 lora_rank=lora_rank, lora_scale=2.0)
+    model = VLAModel(TINY_CFG, rt)
+    tcfg = TrainConfig(
+        model=TINY_CFG,
+        optim=OptimizerConfig(learning_rate=1e-3, max_steps=100,
+                              num_steps_before_decay=1000),
+        grad_accumulation_steps=accum,
+    )
+    tx = make_optimizer(tcfg.optim, warmup_steps=0)
+    rng = np.random.default_rng(0)
+    batch = make_dummy_batch(TINY_CFG, batch_size, rng, accum if accum > 1 else None)
+    batch = jax.tree.map(jnp.asarray, batch)
+    state = init_train_state(model, tx,
+                             jax.tree.map(lambda x: x[0], batch) if accum > 1 else batch,
+                             jax.random.key(0), lora_enabled=lora_rank > 0)
+    step = jax.jit(make_train_step(model, tx, tcfg))
+    return model, state, step, batch
+
+
+def test_lora_partition_structure():
+    _, state, _, _ = _setup(lora_rank=4)
+    train_paths = {jax.tree_util.keystr(p, simple=True, separator="/")
+                   for p, _ in jax.tree_util.tree_flatten_with_path(state.trainable)[0]}
+    frozen_paths = {jax.tree_util.keystr(p, simple=True, separator="/")
+                    for p, _ in jax.tree_util.tree_flatten_with_path(state.frozen)[0]}
+    assert any("lora_a" in p for p in train_paths)
+    assert any(p.startswith("action_head") for p in train_paths)
+    assert any(p.startswith("proprio_projector") for p in train_paths)
+    assert any(p.startswith("action_queries") for p in train_paths)
+    assert not any("lora" in p for p in frozen_paths)
+    # base VLM kernels stay frozen (the head's own q_proj is trainable)
+    assert any(p.startswith("language_model") and "q_proj/kernel" in p
+               for p in frozen_paths)
+    assert not any(p.startswith("language_model") and "q_proj/kernel" in p
+                   for p in train_paths)
+    # merge is lossless
+    merged = merge_trees(state.trainable, state.frozen)
+    assert len(jax.tree.leaves(merged)) == len(
+        jax.tree.leaves(state.trainable)) + len(jax.tree.leaves(state.frozen))
+
+
+def test_loss_decreases_lora():
+    _, state, step, batch = _setup(lora_rank=4)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accum=2 over half-batches == one step over the full batch."""
+    model, state, step2, batch2 = _setup(lora_rank=4, accum=2)
+    tcfg1 = TrainConfig(model=TINY_CFG,
+                        optim=OptimizerConfig(learning_rate=1e-3, max_steps=100,
+                                              num_steps_before_decay=1000),
+                        grad_accumulation_steps=1)
+    tx = make_optimizer(tcfg1.optim, warmup_steps=0)
+    step1 = jax.jit(make_train_step(model, tx, tcfg1))
+
+    flat = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), batch2
+    )
+    state1 = TrainState(step=state.step, trainable=state.trainable,
+                        frozen=state.frozen, opt_state=tx.init(state.trainable))
+
+    # NOTE: noise rngs differ by construction (fold_in per microbatch), so
+    # compare with noise disabled via identical rng handling: use accum path
+    # grads vs manual mean of per-microbatch grads instead.
+    from vla_adapter_tpu.train.step import make_loss_fn
+
+    loss_fn = make_loss_fn(model)
+    g_fn = jax.jit(jax.grad(lambda tr, b, r: loss_fn(tr, state.frozen, b, r)[0]))
+    g0 = g_fn(state.trainable, jax.tree.map(lambda x: x[0], batch2),
+              jax.random.fold_in(jax.random.key(5), 0))
+    g1 = g_fn(state.trainable, jax.tree.map(lambda x: x[1], batch2),
+              jax.random.fold_in(jax.random.key(5), 1))
+    manual = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+
+    s2, m2 = step2(state, batch2, jax.random.key(5))
+    # reconstruct grads from the update by re-running with a fresh SGD? —
+    # instead check the accumulated metrics match the manual mean loss.
+    l0 = loss_fn(state.trainable, state.frozen,
+                 jax.tree.map(lambda x: x[0], batch2),
+                 jax.random.fold_in(jax.random.key(5), 0))[0]
+    l1 = loss_fn(state.trainable, state.frozen,
+                 jax.tree.map(lambda x: x[1], batch2),
+                 jax.random.fold_in(jax.random.key(5), 1))[0]
+    np.testing.assert_allclose(
+        float(m2["loss"]), (float(l0) + float(l1)) / 2, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m2["grad_norm"]),
+        float(jax.jit(lambda g: sum(jnp.sum(x ** 2) for x in jax.tree.leaves(g)) ** 0.5)(manual)),
+        rtol=1e-4,
+    )
+
+
+def test_full_finetune_everything_trainable():
+    _, state, step, batch = _setup(lora_rank=0)
+    assert jax.tree.leaves(state.frozen) == []
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multidevice_fsdp_train_step():
+    """dp=4 x fsdp=2 on the CPU fake cluster: shardings compile + run, and
+    the result matches single-device execution."""
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    mesh = create_mesh(data=4, fsdp=2)
+    model, state, step, batch = _setup(lora_rank=4, batch_size=8)
+
+    sharded = TrainState(
+        step=state.step,
+        trainable=shard_params(state.trainable, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        opt_state=jax.tree.map(
+            lambda x: shard_params(x, mesh) if isinstance(x, dict) else x,
+            state.opt_state,
+            is_leaf=lambda x: isinstance(x, dict),
+        ),
+    )
+    sbatch = shard_batch(batch, mesh)
+
+    s1, m1 = step(state, batch, jax.random.key(0))
+    s2, m2 = step(sharded, sbatch, jax.random.key(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    # params updated identically
+    a = jax.tree.leaves(s1.trainable)[0]
+    b = jax.tree.leaves(s2.trainable)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_param_shardings_fsdp_rules():
+    mesh = create_mesh(data=4, fsdp=2)
+    model, state, _, _ = _setup(lora_rank=0)
+    shardings = params_shardings(state.trainable, mesh)
+    # the embedding (512x64 = 32k < min size) stays replicated; check a
+    # big stacked kernel gets an fsdp axis by lowering the threshold
+    from vla_adapter_tpu.parallel.sharding import param_pspec
+
+    spec = param_pspec("language_model/layers/layer/mlp/gate_proj/kernel",
+                       (4, 64, 128), fsdp_size=2, min_fsdp_size=1)
+    assert "fsdp" in str(spec)
+    spec0 = param_pspec("x/kernel", (3,), fsdp_size=2, min_fsdp_size=1)
+    assert spec0 == jax.sharding.PartitionSpec(None)

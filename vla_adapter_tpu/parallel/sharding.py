@@ -1,0 +1,140 @@
+"""Device mesh + sharding rules (the NCCL/DDP/FSDP replacement).
+
+The reference parallelizes with torch DDP (finetune recipe) and FSDP
+HYBRID_SHARD (pretraining) over NCCL (reference: finetune.py:215-227,
+fsdp.py:84-89). The TPU-native equivalent is a single device mesh with
+GSPMD sharding annotations; XLA inserts the collectives over ICI/DCN:
+
+  axes: ("data", "fsdp", "tensor")
+  * DDP            == mesh (N, 1, 1); params replicated, batch on "data"
+  * FSDP/ZeRO      == mesh (1, N, 1); params sharded on "fsdp", batch on
+                      ("data","fsdp") — every device still sees distinct
+                      examples; XLA all-gathers params per layer and
+                      reduce-scatters grads (ZeRO-3 semantics)
+  * HYBRID_SHARD   == mesh (R, S, 1); shard within "fsdp" groups,
+                      replicate across "data" (the reference's
+                      shard-within-node/replicate-across-nodes)
+  * TP             == "tensor" axis, reserved (not needed at 0.5B —
+                      SURVEY.md section 2.7 — but the axis is plumbed).
+
+Multi-host: call :func:`initialize_distributed` first (jax.distributed),
+then the same code runs unmodified — device order in the mesh keeps ICI
+neighbors adjacent via mesh_utils.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tensor"
+BATCH_SPEC = P((DATA_AXIS, FSDP_AXIS))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init (replaces torchrun + NCCL process groups)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def create_mesh(
+    data: int = -1, fsdp: int = 1, tensor: int = 1, devices=None
+) -> Mesh:
+    """Build a ("data", "fsdp", "tensor") mesh. data=-1 -> all remaining."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (data, fsdp, tensor, n)
+    dev_array = mesh_utils.create_device_mesh((data, fsdp, tensor), devices=devices)
+    return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+# Parameters whose *last* dim should carry the tensor axis (column-parallel)
+# and whose output dim is contracted (row-parallel) — reserved for TP.
+_TP_COL = re.compile(r"(q_proj|k_proj|v_proj|gate_proj|up_proj|fc1|fc_in)/kernel$")
+_TP_ROW = re.compile(r"(o_proj|down_proj|out_proj|fc2|fc_out)/kernel$")
+
+
+def param_pspec(
+    path: str,
+    shape: tuple,
+    fsdp_size: int,
+    tensor_size: int = 1,
+    min_fsdp_size: int = 2 ** 18,
+) -> P:
+    """PartitionSpec for one parameter.
+
+    FSDP: shard the largest divisible dim (preferring the trailing dim) of
+    any parameter bigger than `min_fsdp_size` elements. Scanned-layer stacks
+    (leading L axis) never shard the L axis. TP (when tensor_size > 1):
+    column/row-parallel on the matching projection kernels.
+    """
+    ndim = len(shape)
+    spec = [None] * ndim
+    if tensor_size > 1 and ndim >= 2:
+        if _TP_COL.search(path):
+            spec[-1] = TENSOR_AXIS
+        elif _TP_ROW.search(path):
+            spec[-2] = TENSOR_AXIS
+    if fsdp_size > 1 and int(np.prod(shape)) >= min_fsdp_size:
+        # candidate dims: all but a scanned leading layer axis; prefer last.
+        start = 1 if ndim >= 3 else 0  # (L, in, out) stacks keep L whole
+        for d in range(ndim - 1, start - 1, -1):
+            if spec[d] is None and shape[d] % fsdp_size == 0:
+                spec[d] = FSDP_AXIS
+                break
+    return P(*spec)
+
+
+def params_shardings(params, mesh: Mesh):
+    """Tree of NamedShardings matching param_pspec."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    tensor_size = mesh.shape[TENSOR_AXIS]
+
+    def one(path, leaf):
+        p = jax.tree_util.keystr(path, simple=True, separator="/")
+        return NamedSharding(
+            mesh, param_pspec(p, np.shape(leaf), fsdp_size, tensor_size)
+        )
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param tree onto the mesh per the FSDP/TP rules."""
+    return jax.device_put(params, params_shardings(params, mesh))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim split over (data, fsdp) — every device computes distinct
+    examples (DDP- or ZeRO-style depending on the param sharding)."""
+    return NamedSharding(mesh, BATCH_SPEC)
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+
+    def one(x):
+        spec = P(*(BATCH_SPEC + (None,) * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(one, batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,158 @@
+"""The pjit train step.
+
+One compiled function covering the reference hot loop (finetune.py:1019-1082
++ run_forward_pass :288-447): forward (vision + LLM + head), L1 loss,
+backward over the *trainable* subtree only, grad accumulation, optimizer
+update. Sharding comes entirely from the in/out shardings of the arguments
+(parallel/sharding.py) — XLA inserts the psum/reduce-scatter collectives the
+reference gets from DDP/FSDP hooks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from vla_adapter_tpu.core.config import TrainConfig
+from vla_adapter_tpu.models.vla import VLAModel
+from vla_adapter_tpu.train.partition import merge_trees
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    trainable: Dict[str, Any]
+    frozen: Dict[str, Any]
+    opt_state: Any
+
+
+def l1_action_loss(pred: jnp.ndarray, gt: jnp.ndarray):
+    """L1 over the chunk + the reference's logging split (current vs next
+    actions — finetune.py:427-444)."""
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    err = jnp.abs(pred - gt)
+    loss = err.mean()
+    metrics = {
+        "loss": loss,
+        "curr_action_l1_loss": err[:, 0].mean(),
+        "next_actions_l1_loss": err[:, 1:].mean(),
+    }
+    return loss, metrics
+
+
+def make_loss_fn(model: VLAModel):
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_trees(trainable, frozen)
+        out = model.apply(
+            {"params": params},
+            input_ids=batch["input_ids"],
+            prompt_len=batch["prompt_len"],
+            text_valid=batch["text_valid"],
+            pixel_values=batch["pixel_values"],
+            proprio=batch.get("proprio"),
+            train=True,
+            rngs={"noise": rng},
+        )
+        return l1_action_loss(out["actions"], batch["actions"])
+
+    return loss_fn
+
+
+def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
+                    cfg: TrainConfig):
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    With grad accumulation > 1 the batch carries a leading microbatch axis
+    (A, B/A, ...) and a lax.scan accumulates grads before one update —
+    equivalent to the reference's loss/accum backward per microbatch
+    (finetune.py:1039,1078-1082).
+    """
+    loss_fn = make_loss_fn(model)
+    accum = cfg.grad_accumulation_steps
+
+    def single_grads(trainable, frozen, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, batch, rng
+        )
+        return grads, metrics
+
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+        if accum > 1:
+            def scan_body(carry, micro):
+                g_acc, m_acc, i = carry
+                g, m = single_grads(
+                    state.trainable, state.frozen, micro,
+                    jax.random.fold_in(rng, i),
+                )
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = jax.tree.map(jnp.add, m_acc, m)
+                return (g_acc, m_acc, i + 1), ()
+
+            zeros_g = jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable
+            )
+            zeros_m = {
+                "loss": jnp.zeros((), jnp.float32),
+                "curr_action_l1_loss": jnp.zeros((), jnp.float32),
+                "next_actions_l1_loss": jnp.zeros((), jnp.float32),
+            }
+            (grads, metrics, _), _ = jax.lax.scan(
+                scan_body, (zeros_g, zeros_m, 0), batch
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m / accum, metrics)
+        else:
+            grads, metrics = single_grads(state.trainable, state.frozen, batch, rng)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(step=state.step + 1, trainable=trainable,
+                          opt_state=opt_state),
+            metrics,
+        )
+
+    return step
+
+
+def make_eval_step(model: VLAModel):
+    """Validation forward (reference run_validation, finetune.py:605-686)."""
+    loss_fn = make_loss_fn(model)
+
+    def step(state: TrainState, batch, rng):
+        _, metrics = loss_fn(state.trainable, state.frozen, batch, rng)
+        return metrics
+
+    return step
+
+
+def init_train_state(
+    model: VLAModel,
+    tx: optax.GradientTransformation,
+    example_batch,
+    rng,
+    lora_enabled: bool,
+) -> TrainState:
+    from vla_adapter_tpu.train.partition import split_trainable
+
+    params = model.init(
+        {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+        input_ids=example_batch["input_ids"],
+        prompt_len=example_batch["prompt_len"],
+        text_valid=example_batch["text_valid"],
+        pixel_values=example_batch["pixel_values"],
+        proprio=example_batch.get("proprio"),
+        train=True,
+    )["params"]
+    trainable, frozen = split_trainable(params, lora_enabled)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=tx.init(trainable),
+    )
