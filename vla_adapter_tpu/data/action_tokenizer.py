@@ -1,0 +1,70 @@
+"""Discrete action tokenizer.
+
+Uniform 256-bin discretizer mapping continuous action dims to the *last*
+256 token ids of the vocabulary (reference vla/action_tokenizer.py:22-104).
+With ``use_extra`` (the Qwen2.5 VLA-Adapter configuration) "vocabulary" is
+the extended tokenizer length including the 256 added ``<|extra_i|>``
+tokens (reference qwen25.py:60-66).
+
+Decoupled from HF: only needs the integer ``tokenizer_len``; decoding to
+strings (OpenVLA legacy path) takes an optional decode callable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+class ActionTokenizer:
+    def __init__(
+        self,
+        tokenizer_len: int,
+        n_bins: int = 256,
+        min_action: float = -1.0,
+        max_action: float = 1.0,
+        decode_fn: Optional[Callable[[List[int]], str]] = None,
+    ):
+        self.tokenizer_len = int(tokenizer_len)
+        self.n_bins = n_bins
+        self.min_action, self.max_action = min_action, max_action
+        self.bins = np.linspace(min_action, max_action, n_bins)
+        self.bin_centers = (self.bins[:-1] + self.bins[1:]) / 2.0
+        self.decode_fn = decode_fn
+        # ids strictly greater than this are action tokens
+        self.action_token_begin_idx = self.tokenizer_len - (n_bins + 1)
+
+    def encode_to_ids(self, action: np.ndarray) -> np.ndarray:
+        """Continuous -> token ids (same shape). Bin k (1-based from
+        np.digitize) maps to id tokenizer_len - k, i.e. the last n_bins ids
+        in reverse order."""
+        a = np.clip(action, self.min_action, self.max_action)
+        disc = np.digitize(a, self.bins)
+        return (self.tokenizer_len - disc).astype(np.int64)
+
+    def __call__(self, action: np.ndarray) -> np.ndarray:
+        return self.encode_to_ids(action)
+
+    def encode_to_text(self, action: np.ndarray) -> str:
+        assert self.decode_fn is not None, "needs a tokenizer decode fn"
+        return self.decode_fn(self.encode_to_ids(action).reshape(-1).tolist())
+
+    def decode_token_ids_to_actions(self, ids: np.ndarray) -> np.ndarray:
+        """Inverse map via bin centers (reference :76-97 incl. the clip that
+        folds digitize's inclusive upper bin onto the last center)."""
+        disc = self.tokenizer_len - np.asarray(ids)
+        disc = np.clip(disc - 1, 0, self.bin_centers.shape[0] - 1)
+        return self.bin_centers[disc]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.n_bins
+
+
+def qwen_extended_tokenizer_len(base_len: int = 151665,
+                                num_extra: int = 256) -> int:
+    """len(tokenizer) after adding the <|extra_i|> tokens (reference
+    qwen25.py:60-66): Qwen2.5 ships 151643 BPE + 22 added special tokens =
+    151665; +256 extras = 151921."""
+    return base_len + num_extra

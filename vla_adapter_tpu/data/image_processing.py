@@ -1,0 +1,161 @@
+"""Host-side image preprocessing.
+
+Two stages, matching the reference's deployment pipeline:
+
+1. :func:`prepare_image` — the eval-time parity ops (reference
+   openvla_utils.py:542-648): JPEG encode/decode round-trip + lanczos3
+   resize to the training resolution, and optional center-crop at scale 0.9
+   via crop-and-resize. Implemented with TF ops on host CPU when TF is
+   available (bit-parity with the reference, which uses tf.image), with a
+   PIL fallback.
+
+2. :class:`ImageProcessor` — the deconstructed timm eval transform
+   (reference processing_prismatic.py:32-172): per-tower resize strategy
+   (resize-naive / letterbox / resize-crop), bicubic, per-tower
+   normalization with the checkpoint's (bf16-quantized!) means/stds
+   (preprocessor_config.json `tvf_normalize_params`), channel-stacked
+   output (primary 3ch + fused 3ch).
+
+Output layout is NHWC (TPU-native) — (H, W, 6) per image; models/vla.py
+expects (B, num_images, H, W, 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+# The exact normalization constants stored in released checkpoints
+# (bf16-quantized ImageNet stats for DINOv2; 0.5s for SigLIP).
+DINO_MEAN = (0.484375, 0.455078125, 0.40625)
+DINO_STD = (0.228515625, 0.2236328125, 0.224609375)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+
+
+def _tf():
+    try:
+        import tensorflow as tf
+
+        tf.config.set_visible_devices([], "GPU")
+        return tf
+    except Exception:  # pragma: no cover
+        return None
+
+
+def prepare_image(
+    image: np.ndarray,
+    size: int = 224,
+    center_crop_scale: Optional[float] = None,
+) -> np.ndarray:
+    """Eval-time parity preprocessing: uint8 HWC -> uint8 (size, size, 3).
+
+    JPEG round-trip + lanczos3 resize (+ optional center crop at `scale`
+    then resize back), exactly as the reference serves observations to the
+    model (openvla_utils.py:542-648).
+    """
+    tf = _tf()
+    if tf is not None:
+        t = tf.convert_to_tensor(image)
+        t = tf.io.decode_jpeg(tf.io.encode_jpeg(t))
+        t = tf.image.resize(t, (size, size), method="lanczos3", antialias=True)
+        t = tf.cast(tf.clip_by_value(tf.round(t), 0, 255), tf.uint8)
+        if center_crop_scale is not None:
+            batched = tf.expand_dims(tf.cast(t, tf.float32), 0)
+            s = center_crop_scale
+            # centered box of relative height/width sqrt(s) — the reference
+            # crops `scale` of the AREA (openvla_utils.py:568-648)
+            r = np.sqrt(s)
+            y0 = (1 - r) / 2
+            boxes = [[y0, y0, y0 + r, y0 + r]]
+            t = tf.image.crop_and_resize(batched, boxes, [0], (size, size))[0]
+            t = tf.cast(tf.clip_by_value(tf.round(t), 0, 255), tf.uint8)
+        return t.numpy()
+    # PIL fallback (no JPEG round-trip; close but not bit-identical)
+    img = Image.fromarray(image).resize((size, size), Image.LANCZOS)
+    arr = np.asarray(img)
+    if center_crop_scale is not None:
+        r = np.sqrt(center_crop_scale)
+        h, w = arr.shape[:2]
+        ch, cw = int(h * r), int(w * r)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        img = Image.fromarray(arr[y0 : y0 + ch, x0 : x0 + cw]).resize(
+            (size, size), Image.LANCZOS
+        )
+        arr = np.asarray(img)
+    return arr
+
+
+@dataclass
+class TowerSpec:
+    size: int = 224
+    mean: Tuple[float, float, float] = DINO_MEAN
+    std: Tuple[float, float, float] = DINO_STD
+    interpolation: int = Image.BICUBIC
+
+
+@dataclass
+class ImageProcessor:
+    """timm-eval-transform equivalent: PIL/uint8 -> (H, W, 3*n_towers) f32."""
+
+    towers: Sequence[TowerSpec] = field(
+        default_factory=lambda: (
+            TowerSpec(mean=DINO_MEAN, std=DINO_STD),
+            TowerSpec(mean=SIGLIP_MEAN, std=SIGLIP_STD),
+        )
+    )
+    resize_strategy: str = "resize-naive"  # | letterbox | resize-crop
+    letterbox_fill: Tuple[int, int, int] = (127, 127, 127)
+
+    def _geom(self, img: Image.Image, spec: TowerSpec) -> Image.Image:
+        s = spec.size
+        if self.resize_strategy == "resize-naive":
+            return img.resize((s, s), spec.interpolation)
+        if self.resize_strategy == "letterbox":
+            w, h = img.size
+            m = max(w, h)
+            canvas = Image.new("RGB", (m, m), self.letterbox_fill)
+            canvas.paste(img, ((m - w) // 2, (m - h) // 2))
+            return canvas.resize((s, s), spec.interpolation)
+        if self.resize_strategy == "resize-crop":
+            # timm default eval: resize shorter side to s/crop_pct then
+            # center crop; the reference keeps timm's default transform,
+            # which at crop_pct=1.0 degenerates to resize+crop at s.
+            w, h = img.size
+            scale = s / min(w, h)
+            img = img.resize((round(w * scale), round(h * scale)),
+                             spec.interpolation)
+            w, h = img.size
+            x0, y0 = (w - s) // 2, (h - s) // 2
+            return img.crop((x0, y0, x0 + s, y0 + s))
+        raise ValueError(f"unknown resize strategy {self.resize_strategy!r}")
+
+    def __call__(self, image) -> np.ndarray:
+        if isinstance(image, np.ndarray):
+            image = Image.fromarray(image)
+        image = image.convert("RGB")
+        chans: List[np.ndarray] = []
+        for spec in self.towers:
+            arr = np.asarray(self._geom(image, spec), np.float32) / 255.0
+            arr = (arr - np.asarray(spec.mean, np.float32)) / np.asarray(
+                spec.std, np.float32
+            )
+            chans.append(arr)
+        return np.concatenate(chans, axis=-1)  # (H, W, 3*T)
+
+
+def default_image_processor() -> ImageProcessor:
+    return ImageProcessor()
+
+
+def image_processor_for(vision_cfg) -> ImageProcessor:
+    """Build a processor matching a FusedVisionConfig (tower count + size)."""
+    towers = [TowerSpec(size=vision_cfg.primary.image_size,
+                        mean=DINO_MEAN, std=DINO_STD)]
+    if vision_cfg.fused is not None:
+        towers.append(TowerSpec(size=vision_cfg.fused.image_size,
+                                mean=SIGLIP_MEAN, std=SIGLIP_STD))
+    return ImageProcessor(towers=tuple(towers))

@@ -1,0 +1,103 @@
+"""Prompt builders.
+
+Chat-format builders for each LLM family (reference:
+prismatic/models/backbones/llm/prompting/). Only the Qwen builder is on the
+VLA-Adapter hot path (RLDSBatchTransform, datasets.py:54-89); the pure
+builder covers the legacy OpenVLA "In:/Out:" format.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+QWEN_SYSTEM_PROMPT = (
+    "You are Qwen, created by Alibaba Cloud. You are a helpful assistant."
+)
+
+
+class PromptBuilder:
+    """Alternating human/gpt turn accumulator."""
+
+    def __init__(self, model_family: str, system_prompt: Optional[str] = None):
+        self.model_family = model_family
+        self.system_prompt = system_prompt
+        self.prompt = ""
+        self.turn_count = 0
+
+    def add_turn(self, role: str, message: str) -> str:
+        raise NotImplementedError
+
+    def get_prompt(self) -> str:
+        raise NotImplementedError
+
+
+class QwenPromptBuilder(PromptBuilder):
+    """ChatML-style (reference qwen_prompter.py): system + user turns are
+    wrapped in <|im_start|>role\\n...<|im_end|>\\n; an empty assistant reply
+    becomes a single space; a trailing assistant turn swaps its final
+    newline for <|endoftext|>."""
+
+    IM_START = "<|im_start|>"
+    IM_END = "<|im_end|>"
+    EOS = "<|endoftext|>"
+
+    def __init__(self, model_family: str = "openvla",
+                 system_prompt: Optional[str] = None):
+        super().__init__(model_family, system_prompt or QWEN_SYSTEM_PROMPT)
+        self.system_prompt = self.system_prompt.strip()
+
+    def add_turn(self, role: str, message: str) -> str:
+        expected = "human" if self.turn_count % 2 == 0 else "gpt"
+        assert role == expected, (role, expected)
+        message = message.replace("<image>", "").strip()
+
+        if self.turn_count == 0 and self.system_prompt:
+            self.prompt += (
+                f"{self.IM_START}system\n{self.system_prompt}{self.IM_END}\n"
+            )
+
+        if role == "human":
+            wrapped = (
+                f"{self.IM_START}user\n{message}{self.IM_END}\n"
+                f"{self.IM_START}assistant\n"
+            )
+        else:
+            wrapped = f"{message if message else ' '}{self.IM_END}\n"
+        self.prompt += wrapped
+        self.turn_count += 1
+        return wrapped
+
+    def get_prompt(self) -> str:
+        if self.turn_count % 2 == 0:
+            # ended on a gpt turn: newline -> EOS
+            assert self.prompt.endswith("\n"), self.prompt
+            return self.prompt[:-1] + self.EOS
+        return self.prompt
+
+
+class PurePromptBuilder(PromptBuilder):
+    """Legacy OpenVLA format (reference base_prompter.py:28-74):
+    'In: {q}\\nOut: ' with '</s>' closing each gpt turn."""
+
+    BOS, EOS = "<s>", "</s>"
+
+    def add_turn(self, role: str, message: str) -> str:
+        expected = "human" if self.turn_count % 2 == 0 else "gpt"
+        assert role == expected, (role, expected)
+        message = message.replace("<image>", "").strip()
+        if role == "human":
+            wrapped = f"In: {message}\nOut: "
+        else:
+            wrapped = f"{message}{self.EOS}"
+        self.prompt += wrapped
+        self.turn_count += 1
+        return wrapped
+
+    def get_prompt(self) -> str:
+        return self.prompt.rstrip()
+
+
+PROMPT_BUILDERS = {
+    "qwen": QwenPromptBuilder,
+    "pure": PurePromptBuilder,
+}

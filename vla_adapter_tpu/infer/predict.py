@@ -1,0 +1,148 @@
+"""Inference: predict_action.
+
+The latency-critical path (reference call stack SURVEY.md section 3.2):
+host-side image parity preprocessing + prompt build, ONE fixed-shape jitted
+forward (compiled once — the reference re-pads per prompt and is hard-coded
+batch 1; we bucket to cfg.max_text_tokens and support any batch), then
+host-side q01/q99 unnormalization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vla_adapter_tpu.core.config import VLAConfig
+from vla_adapter_tpu.core.constants import NormalizationType
+from vla_adapter_tpu.data.image_processing import image_processor_for, prepare_image
+from vla_adapter_tpu.data.normalization import normalize, unnormalize
+from vla_adapter_tpu.data.transform import VLABatchTransform
+from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.vla import VLAModel
+
+
+@dataclass
+class Predictor:
+    """Stateless-jit action predictor.
+
+    norm_stats: the checkpoint's per-dataset statistics dict
+    (dataset_statistics.json / config norm_stats); unnorm_key selects the
+    dataset (reference modeling_prismatic.py:977-992).
+    """
+
+    cfg: VLAConfig
+    params: Dict[str, Any]
+    tokenize: Callable[[str], List[int]]
+    norm_stats: Dict[str, Dict]
+    rt: Runtime = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    center_crop: bool = True
+
+    def __post_init__(self):
+        self.model = VLAModel(self.cfg, self.rt)
+        self.image_processor = image_processor_for(self.cfg.vision)
+        self.transform = VLABatchTransform(
+            self.cfg, self.tokenize, action_tokenizer=None,  # not needed here
+            image_processor=self.image_processor,
+        )
+        self._fwd = jax.jit(self._forward)
+        self._params_device = jax.device_put(self.params)
+
+    def _forward(self, params, ids, prompt_len, valid, pixels, proprio):
+        return self.model.apply(
+            {"params": params},
+            input_ids=ids,
+            prompt_len=prompt_len,
+            text_valid=valid,
+            pixel_values=pixels,
+            proprio=proprio,
+        )["actions"]
+
+    def _resolve_unnorm_key(self, unnorm_key: Optional[str]) -> str:
+        if unnorm_key is None:
+            assert len(self.norm_stats) == 1, (
+                f"multiple datasets in norm_stats; pass unnorm_key from "
+                f"{sorted(self.norm_stats)}"
+            )
+            return next(iter(self.norm_stats))
+        assert unnorm_key in self.norm_stats, (unnorm_key, sorted(self.norm_stats))
+        return unnorm_key
+
+    def predict_action(
+        self,
+        images: Sequence[np.ndarray],
+        instruction: str,
+        proprio: Optional[np.ndarray] = None,
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        """images: list of uint8 HWC (third-person first, then wrists).
+        Returns unnormalized (num_actions_chunk, action_dim)."""
+        return self.predict_action_batch(
+            [images], [instruction],
+            None if proprio is None else [proprio],
+            unnorm_key,
+        )[0]
+
+    def predict_action_batch(
+        self,
+        images_batch: Sequence[Sequence[np.ndarray]],
+        instructions: Sequence[str],
+        proprio_batch: Optional[Sequence[np.ndarray]] = None,
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        """Batched inference — a throughput lever the reference lacks
+        (its predict_action asserts batch size 1)."""
+        cfg = self.cfg
+        consts = cfg.constants
+        key = self._resolve_unnorm_key(unnorm_key)
+        stats = self.norm_stats[key]
+
+        b = len(instructions)
+        ids = np.zeros((b, cfg.max_text_tokens), np.int32)
+        plen = np.zeros((b,), np.int32)
+        valid = np.zeros((b, cfg.max_text_tokens), np.int32)
+        pixels = np.zeros(
+            (b, cfg.vision.num_images, cfg.vision.primary.image_size,
+             cfg.vision.primary.image_size, cfg.vision.channels_per_image),
+            np.float32,
+        )
+        for i in range(b):
+            ids[i], plen[i], valid[i] = self.transform.inference_ids(
+                instructions[i]
+            )
+            prepped = [
+                prepare_image(
+                    img,
+                    size=cfg.vision.primary.image_size,
+                    center_crop_scale=0.9 if self.center_crop else None,
+                )
+                for img in images_batch[i]
+            ]
+            pixels[i] = np.stack([self.image_processor(p) for p in prepped])
+
+        proprio = None
+        if cfg.use_proprio and proprio_batch is not None:
+            proprio = np.stack([
+                normalize(np.asarray(p, np.float32), stats["proprio"],
+                          consts.normalization_type)
+                for p in proprio_batch
+            ])
+
+        actions = self._fwd(
+            self._params_device,
+            jnp.asarray(ids),
+            jnp.asarray(plen),
+            jnp.asarray(valid),
+            jnp.asarray(pixels, self.rt.dtype),
+            None if proprio is None else jnp.asarray(proprio),
+        )
+        actions = np.asarray(actions, np.float32)
+        return np.stack([
+            unnormalize(a, stats["action"], consts.normalization_type)
+            for a in actions
+        ])
