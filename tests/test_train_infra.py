@@ -1,0 +1,136 @@
+"""Checkpoints, LoRA merge, metrics, CLI, and a 3-step finetune smoke run."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_train_step import TINY_CFG, _setup
+from vla_adapter_tpu.core.cli import parse_config
+from vla_adapter_tpu.core.config import OptimizerConfig, TrainConfig
+from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.lora import add_lora_params, merge_lora, strip_lora
+from vla_adapter_tpu.models.vla import VLAModel
+from vla_adapter_tpu.train.checkpoints import (
+    find_resume_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vla_adapter_tpu.train.metrics import Metrics
+from vla_adapter_tpu.train.partition import merge_trees
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, state, step, batch = _setup(lora_rank=4)
+    state, _ = step(state, batch, jax.random.key(0))
+    out = save_checkpoint(tmp_path / "run", state,
+                          dataset_statistics={"d": {"action": {"q01": [0]}}},
+                          latest_only=True)
+    assert (out / "dataset_statistics.json").exists()
+    assert find_resume_checkpoint(tmp_path / "run") == out
+
+    _, fresh, _, _ = _setup(lora_rank=4)
+    restored = load_checkpoint(out, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.trainable),
+                    jax.tree.leaves(restored.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt_state restored too (adam moments non-zero)
+    m = jax.tree.leaves(restored.opt_state)
+    assert any(np.abs(np.asarray(x)).sum() > 0 for x in m if hasattr(x, "shape"))
+
+
+def test_lora_merge_equivalence():
+    """Merged params in a lora-free model == lora model forward."""
+    from vla_adapter_tpu.data.dummy import make_dummy_batch
+
+    rt_lora = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                      attn_impl="xla", lora_rank=4, lora_scale=2.0)
+    model_lora = VLAModel(TINY_CFG, rt_lora)
+    batch = make_dummy_batch(TINY_CFG, 2, np.random.default_rng(0))
+    batch = jax.tree.map(jnp.asarray, batch)
+    kwargs = dict(
+        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
+        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
+        proprio=batch["proprio"],
+    )
+    params = model_lora.init(jax.random.key(0), **kwargs)["params"]
+    # make lora_b nonzero so the merge actually changes outputs
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jnp.ones_like(x) * 0.01
+                      if jax.tree_util.keystr(p).endswith("lora_b']") else x),
+        params,
+    )
+    out_lora = model_lora.apply({"params": params}, **kwargs)["actions"]
+
+    merged = merge_lora(jax.device_get(params), scale=2.0)
+    rt_base = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model_base = VLAModel(TINY_CFG, rt_base)
+    out_merged = model_base.apply({"params": merged}, **kwargs)["actions"]
+    np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_merged),
+                               atol=1e-4, rtol=1e-4)
+
+    stripped = strip_lora(jax.device_get(params))
+    assert not any("lora" in jax.tree_util.keystr(p)
+                   for p, _ in jax.tree_util.tree_flatten_with_path(stripped)[0])
+    regrafted = add_lora_params(stripped, jax.device_get(params))
+    assert len(jax.tree.leaves(regrafted)) == len(jax.tree.leaves(params))
+
+
+def test_metrics_jsonl(tmp_path):
+    m = Metrics(tmp_path, window=4)
+    for i in range(6):
+        m.commit(loss=float(i))
+    sm = m.push(step=5)
+    assert sm["loss"] == pytest.approx(np.mean([2, 3, 4, 5]))
+    m.close()
+    rows = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert rows[0]["step"] == 5 and "step_time" in rows[0]
+
+
+def test_cli_overrides():
+    cfg = parse_config(TrainConfig, [
+        "--optim.learning_rate", "1e-4",
+        "--batch_size=8",
+        "--model.platform", "calvin",
+        "--lora.enabled", "false",
+        "--optim.betas", "0.8,0.9",
+        "--run_id", "none",
+    ])
+    assert cfg.optim.learning_rate == 1e-4
+    assert cfg.batch_size == 8
+    assert cfg.model.platform == "calvin"
+    assert cfg.lora.enabled is False
+    assert cfg.optim.betas == (0.8, 0.9)
+    assert cfg.run_id is None
+    with pytest.raises(KeyError):
+        parse_config(TrainConfig, ["--nonexistent", "1"])
+
+
+def test_finetune_smoke(tmp_path):
+    """3 steps end-to-end through the loop incl. checkpoint + resume."""
+    from vla_adapter_tpu.train.loop import finetune
+
+    cfg = TrainConfig(
+        model=TINY_CFG,
+        optim=OptimizerConfig(learning_rate=1e-3, max_steps=3,
+                              num_steps_before_decay=100),
+        batch_size=2,
+        data_axis=2,  # batch 2 over 2 of the 8 fake devices
+        run_root_dir=str(tmp_path),
+        save_freq=2,
+        log_freq=1,
+        remat_llm=False,
+    )
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
+                 lora_rank=2, lora_scale=2.0)
+    state = finetune(cfg, rt=rt)
+    assert int(state.step) == 3
+    run_dir = next(tmp_path.iterdir())
+    assert (run_dir / "metrics.jsonl").exists()
+    # resume continues from the saved step
+    state2 = finetune(cfg, rt=rt, resume=True, max_steps=4)
+    assert int(state2.step) == 4

@@ -59,7 +59,9 @@ def create_mesh(
     if data == -1:
         assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
         data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (data, fsdp, tensor, n)
+    need = data * fsdp * tensor
+    assert need <= n, (data, fsdp, tensor, n)
+    devices = devices[:need]  # explicit sizes may use a device subset
     dev_array = mesh_utils.create_device_mesh((data, fsdp, tensor), devices=devices)
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
 

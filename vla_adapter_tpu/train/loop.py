@@ -1,0 +1,140 @@
+"""The finetune orchestrator (reference vla-scripts/finetune.py:689-1122).
+
+Wires config -> model -> mesh/shardings -> optimizer -> data -> compiled
+train step -> metrics/checkpoints. Data comes from any iterator of
+model-format batches (data/rlds for real RLDS data, data/dummy for smoke
+runs — the reference documents the same swap, finetune.py:937-946).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_adapter_tpu.core.config import TrainConfig
+from vla_adapter_tpu.data.dummy import DummyDataset
+from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.vla import VLAModel
+from vla_adapter_tpu.parallel.sharding import (
+    create_mesh,
+    shard_batch,
+    shard_params,
+)
+from vla_adapter_tpu.train.checkpoints import (
+    find_resume_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vla_adapter_tpu.train.metrics import Metrics
+from vla_adapter_tpu.train.optim import make_optimizer
+from vla_adapter_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+
+def get_run_id(cfg: TrainConfig) -> str:
+    """Hyperparam-encoding run id (reference get_run_id, finetune.py:158-191)."""
+    if cfg.run_id is not None:
+        return cfg.run_id
+    lora = f"lora-r{cfg.lora.rank}" if cfg.lora.enabled else "full"
+    return (
+        f"{cfg.model.platform}+b{cfg.batch_size}+{lora}"
+        f"+lr-{cfg.optim.learning_rate}"
+        f"+{'pro' if cfg.model.head.use_pro_version else 'orig'}"
+    )
+
+
+def build_runtime(cfg: TrainConfig) -> Runtime:
+    return Runtime(
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.float32,
+        attn_impl="auto",
+        lora_rank=cfg.lora.rank if cfg.lora.enabled else 0,
+        lora_scale=cfg.lora.scale,
+        remat=cfg.remat_llm,
+    )
+
+
+def finetune(
+    cfg: TrainConfig,
+    data_iter: Optional[Iterator[Dict[str, np.ndarray]]] = None,
+    dataset_statistics: Optional[Dict] = None,
+    max_steps: Optional[int] = None,
+    rt: Optional[Runtime] = None,
+    resume: bool = False,
+) -> TrainState:
+    rt = rt or build_runtime(cfg)
+    model = VLAModel(cfg.model, rt)
+    mesh = create_mesh(data=cfg.data_axis, fsdp=cfg.fsdp_axis,
+                       tensor=cfg.tensor_axis)
+    tx = make_optimizer(cfg.optim)
+    max_steps = max_steps if max_steps is not None else cfg.optim.max_steps
+
+    if data_iter is None:
+        data_iter = iter(DummyDataset(
+            cfg.model, cfg.batch_size, seed=cfg.seed,
+            accum_steps=cfg.grad_accumulation_steps
+            if cfg.grad_accumulation_steps > 1 else None,
+        ))
+
+    first = next(data_iter)
+    example = (jax.tree.map(lambda x: x[0], first)
+               if cfg.grad_accumulation_steps > 1 else first)
+    example = jax.tree.map(jnp.asarray, example)
+
+    state = init_train_state(model, tx, example, jax.random.key(cfg.seed),
+                             lora_enabled=cfg.lora.enabled)
+    state = TrainState(
+        step=state.step,
+        trainable=shard_params(state.trainable, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        opt_state=jax.tree.map(
+            lambda x: shard_params(x, mesh) if isinstance(x, dict) else x,
+            state.opt_state,
+            is_leaf=lambda x: isinstance(x, dict),
+        ),
+    )
+
+    run_dir = Path(cfg.run_root_dir) / get_run_id(cfg)
+    if resume:
+        ckpt = find_resume_checkpoint(run_dir)
+        if ckpt is not None:
+            state = load_checkpoint(ckpt, state)
+
+    step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    metrics = Metrics(run_dir, window=max(cfg.grad_accumulation_steps, 8),
+                      run_id=get_run_id(cfg))
+
+    rng = jax.random.key(cfg.seed + 1)
+    start_step = int(jax.device_get(state.step))
+    batch = first
+    for step_idx in range(start_step, max_steps):
+        device_batch = {k: v for k, v in batch.items() if k != "dataset_name"}
+        device_batch = shard_batch(
+            jax.tree.map(jnp.asarray, device_batch), mesh
+        )
+        state, m = step_fn(state, device_batch,
+                           jax.random.fold_in(rng, step_idx))
+        metrics.commit(**{k: float(v) for k, v in jax.device_get(m).items()})
+        if step_idx % cfg.log_freq == 0:
+            sm = metrics.push(step_idx)
+            print(f"step {step_idx}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sm.items()), flush=True)
+        if step_idx > 0 and step_idx % cfg.save_freq == 0:
+            save_checkpoint(run_dir, state, dataset_statistics,
+                            latest_only=cfg.save_latest_checkpoint_only)
+        if step_idx + 1 < max_steps:
+            batch = next(data_iter)
+
+    save_checkpoint(run_dir, state, dataset_statistics,
+                    latest_only=cfg.save_latest_checkpoint_only)
+    metrics.close()
+    return state
