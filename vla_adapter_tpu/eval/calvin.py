@@ -1,0 +1,134 @@
+"""CALVIN ABC->D long-horizon evaluation harness.
+
+Protocol parity with reference evaluate_calvin.py / vla_evaluation.py:
+1000 five-instruction chains, per-subtask rollouts of up to 80 ensembling
+cycles with the "hi3" temporal-ensemble controller, avg-successful-sequence
+-length metric, and the CALVIN-specific observation/action conventions:
+  * static (200px) + gripper (84px) cams, parity-resized to 224, 0.9
+    center-cropped (vla_evaluation.py:248-270)
+  * proprio = [robot_obs[:7], robot_obs[-1:]] normalized with the
+    'calvin_abc_rlds' stats (vla_evaluation.py:290-296)
+  * model gripper output flipped 1-a before the standard
+    normalize+binarize+invert pipeline (vla_evaluation.py:311,
+    evaluate_calvin.py process_action)
+Multi-process sharding splits the 1000 chains across jax processes
+(reference shards across accelerate processes, evaluate_calvin.py:877-914).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import logging
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vla_adapter_tpu.eval.openloop import HI3_CYCLE_LEN, TemporalEnsembleController
+from vla_adapter_tpu.eval.robot_utils import process_action
+
+log = logging.getLogger(__name__)
+
+NUM_SEQUENCES = 1000
+EP_LEN = 80  # ensembling cycles per subtask rollout
+
+
+@dataclasses.dataclass
+class CalvinEvalConfig:
+    num_sequences: int = NUM_SEQUENCES
+    ep_len: int = EP_LEN
+    unnorm_key: str = "calvin_abc_rlds"
+    image_size: int = 224
+
+
+def count_success(results: Sequence[int]) -> List[float]:
+    """Chain success rates at depth 1..5 (reference count_success)."""
+    results = np.asarray(list(results))
+    return [float((results >= i).mean()) for i in range(1, 6)]
+
+
+def avg_seq_len(results: Sequence[int]) -> float:
+    return float(np.mean(list(results)))
+
+
+class CalvinPolicy:
+    """Adapts infer.Predictor to CALVIN observations (the reference's
+    DualSystemCalvinEvaluation.step, vla_evaluation.py:240-315)."""
+
+    def __init__(self, predictor, cfg: CalvinEvalConfig):
+        self.predictor = predictor
+        self.cfg = cfg
+
+    def __call__(self, obs, instruction: str) -> np.ndarray:
+        static = obs["rgb_obs"]["rgb_static"]
+        gripper = obs["rgb_obs"]["rgb_gripper"]
+        proprio = np.concatenate(
+            [obs["robot_obs"][:7], obs["robot_obs"][-1:]]
+        )
+        chunk = self.predictor.predict_action(
+            [static, gripper], instruction, proprio=proprio,
+            unnorm_key=self.cfg.unnorm_key,
+        )
+        chunk = np.array(chunk)
+        chunk[:, -1] = 1.0 - chunk[:, -1]  # CALVIN gripper flip
+        return chunk
+
+
+def rollout_subtask(
+    env, policy: Callable, task_oracle, subtask: str, instruction: str,
+    cfg: CalvinEvalConfig,
+) -> bool:
+    """One subtask with hi3 temporal ensembling + per-step success check."""
+    obs = env.get_obs()
+    start_info = env.get_info()
+    controller = TemporalEnsembleController(lambda o: policy(o, instruction))
+    for _ in range(cfg.ep_len * HI3_CYCLE_LEN):
+        action = controller.step(obs)
+        action = process_action(action)
+        obs, _, _, info = env.step(action.tolist())
+        if task_oracle.get_task_info_for_set(start_info, info, {subtask}):
+            return True
+    return False
+
+
+def evaluate_policy(policy: Callable, env, task_oracle, val_annotations,
+                    eval_sequences, cfg: CalvinEvalConfig) -> List[int]:
+    """Run chains; returns per-chain depth reached (0..5)."""
+    results = []
+    for seq_i, (initial_state, sequence) in enumerate(eval_sequences):
+        env.reset(robot_obs=initial_state["robot_obs"],
+                  scene_obs=initial_state["scene_obs"])
+        depth = 0
+        for subtask in sequence:
+            instruction = val_annotations[subtask][0]
+            if rollout_subtask(env, policy, task_oracle, subtask, instruction,
+                               cfg):
+                depth += 1
+            else:
+                break
+        results.append(depth)
+        log.info("chain %d: depth %d | running avg len %.3f",
+                 seq_i, depth, avg_seq_len(results))
+    return results
+
+
+def eval_calvin(predictor, calvin_env_and_assets, cfg: CalvinEvalConfig
+                ) -> Dict[str, float]:
+    """Full CALVIN eval. `calvin_env_and_assets` = (env, task_oracle,
+    val_annotations, eval_sequences) built by the host-side CALVIN stack
+    (calvin_agent; heavy sim deps stay out of this package)."""
+    import jax
+
+    env, task_oracle, val_annotations, eval_sequences = calvin_env_and_assets
+    # shard chains across processes (reference: accelerate split)
+    pid, n = jax.process_index(), jax.process_count()
+    shard = list(eval_sequences)[pid::n]
+    policy = CalvinPolicy(predictor, cfg)
+    results = evaluate_policy(policy, env, task_oracle, val_annotations,
+                              shard, cfg)
+    sr = count_success(results)
+    return {
+        "avg_seq_len": avg_seq_len(results),
+        **{f"chain_sr_{i+1}": s for i, s in enumerate(sr)},
+        "num_chains": len(results),
+    }
