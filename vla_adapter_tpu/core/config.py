@@ -59,6 +59,10 @@ class ViTConfig:
     # Index of the block whose output is the feature tap (None -> last block,
     # after final norm).
     feature_layer: Optional[int] = None
+    # When set, every block applies FiLM modulation x*(1+gamma)+beta between
+    # its attention and MLP sublayers, with gamma/beta projected from a
+    # language embedding of this dimension (reference film_vit_wrapper.py).
+    film_llm_dim: Optional[int] = None
 
     @property
     def num_patches(self) -> int:
@@ -272,6 +276,9 @@ class TrainConfig:
     model: VLAConfig = VLAConfig()
     lora: LoRAConfig = LoRAConfig()
     optim: OptimizerConfig = OptimizerConfig()
+    # 'l1' = continuous regression via the bridge-attention head (the
+    # VLA-Adapter recipe); 'token' = discrete next-token CE (legacy OpenVLA).
+    objective: str = "l1"
     batch_size: int = 16          # global batch
     grad_accumulation_steps: int = 1
     seed: int = 42

@@ -1,0 +1,101 @@
+"""Decoding paths beyond L1 regression.
+
+* :func:`discrete_actions_from_logits` — the parallel discrete decode: the
+  single bidirectional pass already yields logits for every action slot, so
+  the action chunk is argmax-ed in one step (reference
+  modeling_prismatic.py:874-887 — slice starts one position before the
+  action block, reading each slot's next-token prediction).
+
+* :func:`greedy_generate` — autoregressive decode for the legacy/native
+  OpenVLA path (reference vlas/openvla.py:24-134 predicts 7 action tokens
+  via `generate`) and base-VLM text generation. Fixed-shape: the sequence
+  buffer is pre-padded to prompt+max_new_tokens and a lax.scan fills one
+  token per step (full recompute per step — at VLA sequence lengths the
+  whole point of this framework is to NOT use this path; it exists for
+  parity and base-VLM sampling).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def discrete_actions_from_logits(
+    logits: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    num_actions_chunk: int,
+    action_dim: int,
+    tokenizer_len: int,
+    n_bins: int = 256,
+) -> jnp.ndarray:
+    """logits: (B, T_text, V) in original text coordinates (models/vla.py
+    `logits` output). Returns normalized actions (B, chunk, action_dim)."""
+    n = num_actions_chunk * action_dim
+    # logits at position p-1 predict token p: the action block's predictions
+    # live at [prompt_len-1, prompt_len-1+n)
+    start = prompt_len - 1
+    idx = start[:, None] + jnp.arange(n)[None, :]
+    sliced = jnp.take_along_axis(logits, idx[:, :, None], axis=1)
+    token_ids = jnp.argmax(sliced, axis=-1)  # (B, n)
+    # detokenize via bin centers (reference :884-887 — uses vocab size minus
+    # the pad_to_multiple padding, i.e. the extended tokenizer length)
+    bins = jnp.linspace(-1.0, 1.0, n_bins)
+    centers = (bins[:-1] + bins[1:]) / 2.0
+    disc = jnp.clip(tokenizer_len - token_ids - 1, 0, n_bins - 2)
+    return centers[disc].reshape(-1, num_actions_chunk, action_dim)
+
+
+def greedy_generate(
+    model,
+    params,
+    input_ids: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    max_new_tokens: int,
+    eos_token_id: Optional[int] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Causal autoregressive decode on a Qwen2Model.
+
+    input_ids: (B, T) pre-padded buffer with T >= max(prompt_len) +
+    max_new_tokens. Returns the filled buffer. Stops writing past EOS per
+    sequence (subsequent slots keep the pad value).
+    """
+    batch = input_ids.shape[0]
+
+    def step_fn(carry, i):
+        ids, done = carry
+        pos = prompt_len + i  # next slot per sequence
+        valid = (jnp.arange(ids.shape[1])[None, :] < pos[:, None]).astype(jnp.int32)
+        out = model.apply(
+            {"params": params}, input_ids=ids, valid=valid, causal=True,
+            compute_logits=True,
+        )
+        # logits at the last valid position predict the next token
+        last = jnp.take_along_axis(
+            out["logits"], (pos - 1)[:, None, None], axis=1
+        )[:, 0]  # (B, V)
+        if temperature > 0 and rng is not None:
+            tok = jax.random.categorical(
+                jax.random.fold_in(rng, i), last / temperature, axis=-1
+            )
+        else:
+            tok = jnp.argmax(last, axis=-1)
+        tok = tok.astype(ids.dtype)
+        write = ~done
+        ids = ids.at[jnp.arange(batch), pos].set(
+            jnp.where(write, tok, ids[jnp.arange(batch), pos])
+        )
+        if eos_token_id is not None:
+            done = done | (tok == eos_token_id)
+        return (ids, done), None
+
+    done0 = jnp.zeros((batch,), bool)
+    (ids, _), _ = jax.lax.scan(
+        step_fn, (input_ids, done0), jnp.arange(max_new_tokens)
+    )
+    return ids

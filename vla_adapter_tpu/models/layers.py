@@ -124,3 +124,18 @@ class LayerNorm(nn.Module):
 def gelu(x: jnp.ndarray, approximate: bool) -> jnp.ndarray:
     """GELU matching torch nn.GELU(approximate='tanh' if approximate)."""
     return nn.gelu(x, approximate=approximate)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * nn.sigmoid(1.702 * x)
+
+
+def activation(name: str):
+    if name == "gelu":
+        return lambda x: gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return lambda x: gelu(x, approximate=True)
+    if name == "quick_gelu":
+        return quick_gelu
+    raise ValueError(f"unknown activation {name!r}")

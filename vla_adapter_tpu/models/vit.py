@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vla_adapter_tpu.core.config import ViTConfig
-from vla_adapter_tpu.models.layers import Dense, LayerNorm, Runtime, gelu
+from vla_adapter_tpu.models.layers import Dense, LayerNorm, Runtime, activation
 from vla_adapter_tpu.ops.attention import dot_product_attention
 
 
@@ -63,7 +63,7 @@ class ViTMLP(nn.Module):
     def __call__(self, x):
         cfg, rt = self.cfg, self.rt
         x = Dense(cfg.mlp_dim, rt=rt, name="fc1")(x)
-        x = gelu(x, approximate=(cfg.mlp_activation == "gelu_tanh"))
+        x = activation(cfg.mlp_activation)(x)
         return Dense(cfg.hidden_size, rt=rt, name="fc2")(x)
 
 
@@ -79,11 +79,16 @@ class LayerScale(nn.Module):
 
 
 class ViTBlock(nn.Module):
+    """Pre-norm block; with cfg.film_llm_dim set, FiLM modulation
+    x*(1+gamma)+beta is applied between the attention and MLP sublayers
+    (reference film_vit_wrapper.py:57-80: zero-perturbation at init since
+    the scale/shift projections start near zero)."""
+
     cfg: ViTConfig
     rt: Runtime
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lang: Optional[jnp.ndarray] = None):
         cfg, rt = self.cfg, self.rt
         h = ViTAttention(cfg, rt, name="attn")(
             LayerNorm(cfg.layernorm_eps, rt=rt, name="norm1")(x)
@@ -91,6 +96,11 @@ class ViTBlock(nn.Module):
         if cfg.layer_scale_init is not None:
             h = LayerScale(rt, name="ls1")(h)
         x = x + h
+        if cfg.film_llm_dim is not None:
+            assert lang is not None, "FiLM block needs a language embedding"
+            gamma = Dense(cfg.hidden_size, rt=rt, name="film_scale")(lang)
+            beta = Dense(cfg.hidden_size, rt=rt, name="film_shift")(lang)
+            x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
         h = ViTMLP(cfg, rt, name="mlp")(
             LayerNorm(cfg.layernorm_eps, rt=rt, name="norm2")(x)
         )
@@ -105,8 +115,8 @@ class _BlockScanBody(nn.Module):
     block_cls: Type[nn.Module]
 
     @nn.compact
-    def __call__(self, carry):
-        return self.block_cls(self.cfg, self.rt, name="block")(carry), None
+    def __call__(self, carry, lang):
+        return self.block_cls(self.cfg, self.rt, name="block")(carry, lang), None
 
 
 class VisionTransformer(nn.Module):
@@ -119,7 +129,8 @@ class VisionTransformer(nn.Module):
     rt: Runtime = Runtime()
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray,
+                 lang: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg, rt = self.cfg, self.rt
         b = images.shape[0]
         x = nn.Conv(
@@ -172,14 +183,18 @@ class VisionTransformer(nn.Module):
                 )
             x = x + pos_embed.astype(rt.dtype)
 
+        if cfg.film_llm_dim is not None and lang is not None:
+            lang = lang.astype(rt.dtype)
+
         num_blocks = cfg.resolved_feature_layer + 1
         scanned = nn.scan(
             _BlockScanBody,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=num_blocks,
+            in_axes=(nn.broadcast,),
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(cfg=cfg, rt=rt, block_cls=ViTBlock, name="blocks")
-        x, _ = scanned(x)
+        x, _ = scanned(x, lang)
 
         return x[:, cfg.num_prefix_tokens:]

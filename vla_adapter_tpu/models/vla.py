@@ -61,18 +61,22 @@ class FusedVisionBackbone(nn.Module):
     rt: Runtime
 
     @nn.compact
-    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, pixel_values: jnp.ndarray,
+                 lang: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         vcfg = self.cfg.vision
         b, n_img, h, w, c = pixel_values.shape
         flat = pixel_values.reshape(b * n_img, h, w, c)
+        flat_lang = None
+        if lang is not None:
+            flat_lang = jnp.repeat(lang, n_img, axis=0)  # (B*n, D)
 
         primary = VisionTransformer(vcfg.primary, self.rt, name="featurizer")(
-            flat[..., 0:3]
+            flat[..., 0:3], flat_lang
         )
         feats = primary
         if vcfg.fused is not None:
             fused = VisionTransformer(vcfg.fused, self.rt, name="fused_featurizer")(
-                flat[..., 3:6]
+                flat[..., 3:6], flat_lang
             )
             feats = jnp.concatenate([primary, fused], axis=-1)
         # (B*n, P, E) -> (B, n*P, E): images concatenated on sequence dim
@@ -134,8 +138,18 @@ class VLAModel(nn.Module):
             )
         )
 
-        # --- vision ---
-        patches = FusedVisionBackbone(cfg, rt, name="vision_backbone")(pixel_values)
+        # --- vision (optional FiLM conditioning on the mean prompt
+        # embedding — reference modeling_prismatic.py:610-615) ---
+        lang_cond = None
+        if cfg.vision.use_film:
+            q_mask = jnp.zeros((b, t_text), bool).at[batch_idx, q_positions].set(True)
+            lang_mask = text_valid.astype(jnp.float32) * (~q_mask).astype(jnp.float32)
+            lang_cond = jnp.sum(
+                text_embeds * lang_mask[..., None], axis=1
+            ) / jnp.maximum(jnp.sum(lang_mask, axis=1, keepdims=True), 1.0)
+        patches = FusedVisionBackbone(cfg, rt, name="vision_backbone")(
+            pixel_values, lang_cond
+        )
         proj_cls = FusedProjector if cfg.vision.fused is not None else Projector
         projected = proj_cls(cfg.llm.hidden_size, rt=rt, name="projector")(patches)
 

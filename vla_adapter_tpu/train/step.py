@@ -29,6 +29,60 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
 
 
+def token_prediction_loss(logits, labels, valid, action_tokenizer_len,
+                          action_dim):
+    """Discrete-token CE objective + metrics (reference run_forward_pass
+    non-L1 branch, finetune.py:356-394, and train_utils.py masks/metrics).
+
+    logits: (B, T, V) in original text coordinates; labels: (B, T) with
+    IGNORE_INDEX outside the action region. HF-style shift: logits at t
+    predict labels at t+1.
+    """
+    from vla_adapter_tpu.core.constants import ACTION_TOKEN_BEGIN_IDX, IGNORE_INDEX
+
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    mask = (targets != IGNORE_INDEX) & valid[:, 1:].astype(bool)
+    safe_targets = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    loss = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    preds = jnp.argmax(logits, axis=-1)
+    # current vs next action masks (reference train_utils.py:8-41): cumsum
+    # over non-IGNORE labels; first `action_dim` action tokens vs the rest.
+    non_ignore = (targets != IGNORE_INDEX).astype(jnp.int32)
+    csum = jnp.cumsum(non_ignore, axis=1)
+    is_action = targets > ACTION_TOKEN_BEGIN_IDX
+    curr_mask = (csum >= 1) & (csum <= action_dim) & is_action
+    next_mask = (csum > action_dim) & is_action
+
+    def acc(m):
+        return jnp.sum((preds == targets) & m) / jnp.maximum(jnp.sum(m), 1)
+
+    # detokenized L1 (bin centers; reference compute_actions_l1_loss)
+    n_bins = 256
+    bins = jnp.linspace(-1.0, 1.0, n_bins)
+    centers = (bins[:-1] + bins[1:]) / 2.0
+
+    def detok(ids):
+        disc = jnp.clip(action_tokenizer_len - ids - 1, 0, n_bins - 2)
+        return centers[disc]
+
+    def l1(m):
+        d = jnp.abs(detok(preds) - detok(targets))
+        return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1)
+
+    metrics = {
+        "loss": loss,
+        "curr_action_accuracy": acc(curr_mask),
+        "next_actions_accuracy": acc(next_mask),
+        "curr_action_l1_loss": l1(curr_mask),
+        "next_actions_l1_loss": l1(next_mask),
+    }
+    return loss, metrics
+
+
 def l1_action_loss(pred: jnp.ndarray, gt: jnp.ndarray):
     """L1 over the chunk + the reference's logging split (current vs next
     actions — finetune.py:427-444)."""
@@ -44,7 +98,11 @@ def l1_action_loss(pred: jnp.ndarray, gt: jnp.ndarray):
     return loss, metrics
 
 
-def make_loss_fn(model: VLAModel):
+def make_loss_fn(model: VLAModel, objective: str = "l1",
+                 action_tokenizer_len: int = 151921):
+    """objective: 'l1' (continuous regression, the VLA-Adapter recipe) or
+    'token' (discrete next-token CE, the legacy OpenVLA objective)."""
+
     def loss_fn(trainable, frozen, batch, rng):
         params = merge_trees(trainable, frozen)
         out = model.apply(
@@ -55,8 +113,14 @@ def make_loss_fn(model: VLAModel):
             pixel_values=batch["pixel_values"],
             proprio=batch.get("proprio"),
             train=True,
+            compute_logits=(objective == "token"),
             rngs={"noise": rng},
         )
+        if objective == "token":
+            return token_prediction_loss(
+                out["logits"], batch["labels"], batch["text_valid"],
+                action_tokenizer_len, model.cfg.constants.action_dim,
+            )
         return l1_action_loss(out["actions"], batch["actions"])
 
     return loss_fn
@@ -71,7 +135,7 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
     equivalent to the reference's loss/accum backward per microbatch
     (finetune.py:1039,1078-1082).
     """
-    loss_fn = make_loss_fn(model)
+    loss_fn = make_loss_fn(model, objective=getattr(cfg, "objective", "l1"))
     accum = cfg.grad_accumulation_steps
 
     def single_grads(trainable, frozen, batch, rng):
@@ -92,14 +156,12 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
                 m_acc = jax.tree.map(jnp.add, m_acc, m)
                 return (g_acc, m_acc, i + 1), ()
 
-            zeros_g = jax.tree.map(
-                lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable
+            g_shape, m_shape = jax.eval_shape(
+                single_grads, state.trainable, state.frozen,
+                jax.tree.map(lambda x: x[0], batch), rng,
             )
-            zeros_m = {
-                "loss": jnp.zeros((), jnp.float32),
-                "curr_action_l1_loss": jnp.zeros((), jnp.float32),
-                "next_actions_l1_loss": jnp.zeros((), jnp.float32),
-            }
+            zeros_g = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), g_shape)
+            zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
             (grads, metrics, _), _ = jax.lax.scan(
                 scan_body, (zeros_g, zeros_m, 0), batch
             )
