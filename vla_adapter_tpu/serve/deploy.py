@@ -1,0 +1,37 @@
+"""Deploy CLI (reference vla-scripts/deploy.py).
+
+    python -m vla_adapter_tpu.serve.deploy --ckpt_dir runs/... --port 8777
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from vla_adapter_tpu.core.cli import parse_config
+from vla_adapter_tpu.utils.overwatch import initialize_overwatch
+
+log = initialize_overwatch(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeployConfig:
+    ckpt_dir: str = ""
+    host: str = "0.0.0.0"
+    port: int = 8777
+    center_crop: bool = True
+
+
+def main(argv=None) -> None:
+    from vla_adapter_tpu.serve.server import ActionServer
+    from vla_adapter_tpu.weights.load import load_vla
+
+    cfg = parse_config(DeployConfig, argv)
+    assert cfg.ckpt_dir, "--ckpt_dir is required"
+    predictor = load_vla(cfg.ckpt_dir, center_crop=cfg.center_crop)
+    log.info("model loaded from %s; serving /act on %s:%d",
+             cfg.ckpt_dir, cfg.host, cfg.port)
+    ActionServer(predictor, host=cfg.host, port=cfg.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Finetune CLI (reference vla-scripts/finetune.py entry point).
+
+    python -m vla_adapter_tpu.train.finetune \
+        --data.mixture libero_spatial_no_noops \
+        --data.root_dir /data/rlds \
+        --train.batch_size 16 --train.optim.learning_rate 5e-4
+
+With ``--data.use_dummy true`` the DummyDataset smoke path runs instead of
+RLDS (the reference documents the same swap, finetune.py:937-946).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+from vla_adapter_tpu.core.cli import parse_config
+from vla_adapter_tpu.core.config import TrainConfig
+from vla_adapter_tpu.utils.overwatch import initialize_overwatch
+
+log = initialize_overwatch(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    mixture: str = "libero_spatial_no_noops"
+    root_dir: str = "datasets/rlds"
+    use_dummy: bool = False
+    image_aug: bool = True
+    shuffle_buffer_size: int = 100_000
+    tokenizer_dir: Optional[str] = None  # dir with vocab.json/merges.txt
+
+
+@dataclasses.dataclass(frozen=True)
+class FinetuneCLIConfig:
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+    resume: bool = False
+
+
+def build_data_iter(cfg: FinetuneCLIConfig):
+    """RLDS mixture -> batch iterator (+ statistics for checkpointing)."""
+    from vla_adapter_tpu.data.action_tokenizer import ActionTokenizer
+    from vla_adapter_tpu.data.image_processing import image_processor_for
+    from vla_adapter_tpu.data.rlds.oxe.materialize import (
+        get_oxe_dataset_kwargs_and_weights,
+    )
+    from vla_adapter_tpu.data.rlds_dataset import RLDSDataset
+    from vla_adapter_tpu.data.tokenization import load_qwen_tokenizer
+    from vla_adapter_tpu.data.transform import VLABatchTransform
+
+    model_cfg = cfg.train.model
+    tok = load_qwen_tokenizer(cfg.data.tokenizer_dir)
+    transform = VLABatchTransform(
+        model_cfg,
+        tokenize=lambda t: tok(t, add_special_tokens=True).input_ids,
+        action_tokenizer=ActionTokenizer(len(tok)),
+        image_processor=image_processor_for(model_cfg.vision),
+        seed=cfg.train.seed,
+    )
+    kwargs_list, weights = get_oxe_dataset_kwargs_and_weights(
+        cfg.data.root_dir, cfg.data.mixture,
+        load_camera_views=("primary", "wrist"),
+    )
+    accum = (cfg.train.grad_accumulation_steps
+             if cfg.train.grad_accumulation_steps > 1 else None)
+    ds = RLDSDataset(
+        model_cfg, transform, kwargs_list, weights,
+        batch_size=cfg.train.batch_size, train=True,
+        image_aug=cfg.data.image_aug,
+        shuffle_buffer_size=cfg.data.shuffle_buffer_size,
+        accum_steps=accum, seed=cfg.train.seed,
+    )
+    return iter(ds), ds.dataset_statistics
+
+
+def main(argv=None) -> None:
+    from vla_adapter_tpu.train.loop import finetune, get_run_id
+
+    cfg = parse_config(FinetuneCLIConfig, argv)
+    log.info("run id: %s", get_run_id(cfg.train))
+    if cfg.data.use_dummy:
+        data_iter, stats = None, None
+    else:
+        data_iter, stats = build_data_iter(cfg)
+    finetune(cfg.train, data_iter=data_iter, dataset_statistics=stats,
+             resume=cfg.resume)
+
+
+if __name__ == "__main__":
+    main()
