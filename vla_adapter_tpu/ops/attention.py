@@ -122,7 +122,13 @@ def dot_product_attention(
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        impl = "pallas" if _supports_pallas() else "xla"
+        # Measured on v5e: below ~512 tokens XLA's fused attention wins
+        # (the standalone kernel pays launch + layout-transpose overhead
+        # that dominates tiny (S^2 * D) workloads — e.g. the 261-token ViT
+        # towers); at the ~640-token multimodal LLM length and beyond the
+        # Pallas kernel is faster and keeps scores out of HBM.
+        use_pallas = _supports_pallas() and q.shape[1] >= 512
+        impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         return _attention_pallas_trainable(q, k, v, valid, causal, sm_scale)
     return xla_attention(q, k, v, valid, causal=causal, sm_scale=sm_scale)

@@ -66,6 +66,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_block_q(seq_len: int) -> int:
+    """Block policy (measured on v5e): minimize padding waste and grid
+    size — one whole-sequence q-block up to 1k tokens (the VLA regime,
+    e.g. 261-token ViTs / ~600-token multimodal LLM), 256-token blocks
+    beyond. Sublane alignment requires a multiple of 16 (bf16).
+    Empirically 4-20x faster than 128-fixed blocking at ViT shapes."""
+    if seq_len <= 1024:
+        return _round_up(seq_len, 16)
+    return 256
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q"))
 def fused_attention(
     q: jnp.ndarray,
@@ -75,7 +86,7 @@ def fused_attention(
     *,
     causal: bool = False,
     sm_scale: float | None = None,
-    block_q: int = 128,
+    block_q: int | None = None,
 ) -> jnp.ndarray:
     """Fused multi-head attention.
 
@@ -88,6 +99,8 @@ def fused_attention(
     groups = num_heads // num_kv
     if sm_scale is None:
         sm_scale = head_dim ** -0.5
+    if block_q is None:
+        block_q = _pick_block_q(seq_len)
 
     padded = _round_up(seq_len, block_q)
     if valid is None:
