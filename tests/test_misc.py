@@ -1,0 +1,84 @@
+"""Validation wiring, frozen-bf16, batching sampler, VQ stub, profiling."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_train_step import TINY_CFG
+from vla_adapter_tpu.core.config import OptimizerConfig, TrainConfig
+from vla_adapter_tpu.data.action_tokenizer import VQActionTokenizer
+from vla_adapter_tpu.data.batching import SplitModalitySampler
+from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.utils.profiling import StepTimer
+
+
+def test_finetune_with_validation_and_frozen_bf16(tmp_path):
+    from vla_adapter_tpu.data.dummy import DummyDataset
+    from vla_adapter_tpu.train.loop import finetune
+
+    cfg = TrainConfig(
+        model=TINY_CFG,
+        optim=OptimizerConfig(learning_rate=1e-3, max_steps=3,
+                              num_steps_before_decay=100),
+        batch_size=2, data_axis=1, run_root_dir=str(tmp_path),
+        save_freq=100, log_freq=1, val_freq=2, remat_llm=False,
+        frozen_bf16=True,
+    )
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
+                 lora_rank=2, lora_scale=2.0)
+    val_iter = iter(DummyDataset(TINY_CFG, 2, seed=99))
+    state = finetune(cfg, rt=rt, val_iter=val_iter, val_batches=2)
+    # frozen params were cast
+    leaf = jax.tree.leaves(state.frozen)[0]
+    assert leaf.dtype == jnp.bfloat16
+    # validation metrics landed in the jsonl
+    run_dir = next(tmp_path.iterdir())
+    rows = [json.loads(l) for l in
+            (run_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any(any(k.startswith("val_") for k in r) for r in rows)
+
+
+def test_split_modality_sampler():
+    rng = np.random.default_rng(0)
+    mm = rng.random(100) < 0.6
+    lengths = rng.integers(5, 200, size=100)
+    s = SplitModalitySampler(mm, lengths, batch_size=8, seed=0)
+    batches = list(s)
+    assert len(batches) == len(s)
+    for b in batches:
+        assert len(b) == 8
+        assert len(set(mm[b])) == 1  # single modality per batch
+    # epochs reshuffle
+    s.set_epoch(1)
+    batches2 = list(s)
+    assert any(not np.array_equal(a, b) for a, b in zip(batches, batches2))
+
+
+def test_vq_action_tokenizer_stub():
+    class FakeVQ:
+        def get_code(self, actions):
+            return np.arange(actions.shape[1] * 0 + 4)[None] % 256
+
+        def draw_code_forward(self, codes):
+            return np.ones((1, 8, 7)) * codes[0, 0]
+
+    at = VQActionTokenizer(151921, FakeVQ())
+    ids = at.encode_to_ids(np.zeros((8, 7)))
+    assert (ids > 151386).all()
+    back = at.decode_token_ids_to_actions(ids)
+    assert back.shape == (8, 7)
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            time.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 3 and 0.005 < s["median_s"] < 0.1

@@ -287,6 +287,9 @@ class TrainConfig:
     fsdp_axis: int = 1
     tensor_axis: int = 1
     remat_llm: bool = True        # jax.checkpoint each decoder layer
+    # Store frozen (non-trained) params in bf16 — halves the frozen base's
+    # HBM with no optimizer impact (compute is bf16 anyway).
+    frozen_bf16: bool = True
     save_freq: int = 10_000
     save_latest_checkpoint_only: bool = True
     run_root_dir: str = "runs"

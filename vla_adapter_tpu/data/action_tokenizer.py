@@ -68,3 +68,34 @@ def qwen_extended_tokenizer_len(base_len: int = 151665,
     qwen25.py:60-66): Qwen2.5 ships 151643 BPE + 22 added special tokens =
     151665; +256 extras = 151921."""
     return base_len + num_extra
+
+
+class VQActionTokenizer(ActionTokenizer):
+    """Residual-VQ action tokenizer (reference action_tokenizer.py:107-191).
+
+    Encodes an action chunk through a pretrained VQ-VAE and maps codebook
+    indices onto the tail of the vocabulary. The reference loads a torch
+    `vqvae` model from disk; pass any object with `get_code(actions) ->
+    (B, num_codes) indices` and `draw_code_forward(indices) -> (B, chunk,
+    dim)`. Unused by every released config (`use_vq=False`); included for
+    API completeness.
+    """
+
+    def __init__(self, tokenizer_len: int, vq_model, n_bins: int = 256,
+                 **kwargs):
+        super().__init__(tokenizer_len, n_bins=n_bins, **kwargs)
+        self.vq = vq_model
+
+    def encode_to_ids(self, action: np.ndarray) -> np.ndarray:
+        codes = np.asarray(self.vq.get_code(action[None]))[0]
+        return (self.tokenizer_len - 1 - codes).astype(np.int64)
+
+    def decode_token_ids_to_actions(self, ids: np.ndarray) -> np.ndarray:
+        codes = self.tokenizer_len - 1 - np.asarray(ids)
+        return np.asarray(self.vq.draw_code_forward(codes[None]))[0]
+
+
+ACTION_TOKENIZERS = {
+    "uniform": ActionTokenizer,
+    "vq": VQActionTokenizer,
+}

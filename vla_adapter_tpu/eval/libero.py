@@ -117,12 +117,21 @@ def eval_libero(policy: Callable, cfg: LiberoEvalConfig) -> Dict[str, float]:
     suite = benchmark.get_benchmark_dict()[cfg.task_suite_name]()
     num_tasks = suite.n_tasks
 
+    custom_states = None
+    if cfg.initial_states_path != "DEFAULT":
+        import json
+
+        custom_states = json.loads(Path(cfg.initial_states_path).read_text())
+
     total, successes = 0, 0
     per_task = {}
     for task_id in range(num_tasks):
         task = suite.get_task(task_id)
         env, desc = _make_env(task)
-        initial_states = suite.get_task_init_states(task_id)
+        if custom_states is not None:
+            initial_states = [np.asarray(s) for s in custom_states[desc]]
+        else:
+            initial_states = suite.get_task_init_states(task_id)
         task_succ = 0
         for ep in range(cfg.num_trials_per_task):
             init = initial_states[ep % len(initial_states)]

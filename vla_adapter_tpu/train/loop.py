@@ -70,6 +70,8 @@ def finetune(
     max_steps: Optional[int] = None,
     rt: Optional[Runtime] = None,
     resume: bool = False,
+    val_iter: Optional[Iterator[Dict[str, np.ndarray]]] = None,
+    val_batches: int = 8,
 ) -> TrainState:
     rt = rt or build_runtime(cfg)
     model = VLAModel(cfg.model, rt)
@@ -92,10 +94,17 @@ def finetune(
 
     state = init_train_state(model, tx, example, jax.random.key(cfg.seed),
                              lora_enabled=cfg.lora.enabled)
+    frozen = state.frozen
+    if cfg.frozen_bf16:
+        frozen = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            frozen,
+        )
     state = TrainState(
         step=state.step,
         trainable=shard_params(state.trainable, mesh),
-        frozen=shard_params(state.frozen, mesh),
+        frozen=shard_params(frozen, mesh),
         opt_state=jax.tree.map(
             lambda x: shard_params(x, mesh) if isinstance(x, dict) else x,
             state.opt_state,
@@ -112,6 +121,30 @@ def finetune(
     step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
     metrics = Metrics(run_dir, window=max(cfg.grad_accumulation_steps, 8),
                       run_id=get_run_id(cfg))
+
+    eval_fn = None
+    if val_iter is not None:
+        from vla_adapter_tpu.train.step import make_eval_step
+
+        eval_fn = jax.jit(make_eval_step(model))
+
+    def run_validation(step_idx: int):
+        """Averaged eval metrics over val_batches (reference
+        run_validation, finetune.py:605-686)."""
+        accs = []
+        for _ in range(val_batches):
+            vb = {k: v for k, v in next(val_iter).items()
+                  if k != "dataset_name"}
+            vb = shard_batch(jax.tree.map(jnp.asarray, vb), mesh)
+            accs.append(jax.device_get(
+                eval_fn(state, vb, jax.random.key(step_idx))
+            ))
+        avg = {f"val_{k}": float(np.mean([a[k] for a in accs]))
+               for k in accs[0]}
+        metrics.commit(**avg)
+        metrics.push(step_idx)
+        print(f"step {step_idx} validation: " +
+              " ".join(f"{k}={v:.4f}" for k, v in avg.items()), flush=True)
 
     rng = jax.random.key(cfg.seed + 1)
     start_step = int(jax.device_get(state.step))
@@ -131,6 +164,8 @@ def finetune(
         if step_idx > 0 and step_idx % cfg.save_freq == 0:
             save_checkpoint(run_dir, state, dataset_statistics,
                             latest_only=cfg.save_latest_checkpoint_only)
+        if eval_fn is not None and step_idx > 0 and step_idx % cfg.val_freq == 0:
+            run_validation(step_idx)
         if step_idx + 1 < max_steps:
             batch = next(data_iter)
 
