@@ -99,3 +99,40 @@ def greedy_generate(
         step_fn, (input_ids, done0), jnp.arange(max_new_tokens)
     )
     return ids
+
+
+def predict_action_autoregressive(
+    vlm,
+    params,
+    input_ids: jnp.ndarray,
+    text_valid: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    action_tokenizer,
+    action_dim: int,
+) -> np.ndarray:
+    """The native-OpenVLA action path (reference vlas/openvla.py:24-134):
+    autoregressively greedy-decode `action_dim` action tokens from a
+    PrismaticVLM (causal, token objective) and detokenize via bin centers.
+    Superseded by the parallel bidirectional path, kept for parity."""
+    b, t = input_ids.shape
+
+    def step_fn(carry, i):
+        ids, valid = carry
+        out = vlm.apply(
+            {"params": params}, input_ids=ids, text_valid=valid,
+            pixel_values=pixel_values, compute_logits=True,
+        )
+        pos = prompt_len + i
+        last = jnp.take_along_axis(out["logits"], (pos - 1)[:, None, None],
+                                   axis=1)[:, 0]
+        tok = jnp.argmax(last, axis=-1).astype(ids.dtype)
+        ids = ids.at[jnp.arange(b), pos].set(tok)
+        valid = valid.at[jnp.arange(b), pos].set(1)
+        return (ids, valid), tok
+
+    (_, _), toks = jax.lax.scan(
+        step_fn, (input_ids, text_valid), jnp.arange(action_dim)
+    )
+    token_ids = np.asarray(toks).T  # (B, action_dim)
+    return action_tokenizer.decode_token_ids_to_actions(token_ids)

@@ -128,7 +128,7 @@ def finetune(
 
         eval_fn = jax.jit(make_eval_step(model))
 
-    def run_validation(step_idx: int):
+    def run_validation(step_idx: int, cur_state: TrainState):
         """Averaged eval metrics over val_batches (reference
         run_validation, finetune.py:605-686)."""
         accs = []
@@ -137,7 +137,7 @@ def finetune(
                   if k != "dataset_name"}
             vb = shard_batch(jax.tree.map(jnp.asarray, vb), mesh)
             accs.append(jax.device_get(
-                eval_fn(state, vb, jax.random.key(step_idx))
+                eval_fn(cur_state, vb, jax.random.key(step_idx))
             ))
         avg = {f"val_{k}": float(np.mean([a[k] for a in accs]))
                for k in accs[0]}
@@ -149,6 +149,26 @@ def finetune(
     rng = jax.random.key(cfg.seed + 1)
     start_step = int(jax.device_get(state.step))
     batch = first
+    try:
+        state = _train(cfg, state, step_fn, metrics, data_iter, batch, rng,
+                       start_step, max_steps, mesh, run_dir,
+                       dataset_statistics, run_validation if eval_fn else None)
+    except KeyboardInterrupt:
+        # preemption-safe: persist progress before exiting (the reference
+        # loses up to save_freq steps on interruption)
+        print("interrupted — saving checkpoint before exit", flush=True)
+        save_checkpoint(run_dir, state, dataset_statistics,
+                        latest_only=cfg.save_latest_checkpoint_only)
+        raise
+
+    save_checkpoint(run_dir, state, dataset_statistics,
+                    latest_only=cfg.save_latest_checkpoint_only)
+    metrics.close()
+    return state
+
+
+def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
+           max_steps, mesh, run_dir, dataset_statistics, run_validation):
     for step_idx in range(start_step, max_steps):
         device_batch = {k: v for k, v in batch.items() if k != "dataset_name"}
         device_batch = shard_batch(
@@ -164,12 +184,9 @@ def finetune(
         if step_idx > 0 and step_idx % cfg.save_freq == 0:
             save_checkpoint(run_dir, state, dataset_statistics,
                             latest_only=cfg.save_latest_checkpoint_only)
-        if eval_fn is not None and step_idx > 0 and step_idx % cfg.val_freq == 0:
-            run_validation(step_idx)
+        if run_validation is not None and step_idx > 0 and (
+                step_idx % cfg.val_freq == 0):
+            run_validation(step_idx, state)
         if step_idx + 1 < max_steps:
             batch = next(data_iter)
-
-    save_checkpoint(run_dir, state, dataset_statistics,
-                    latest_only=cfg.save_latest_checkpoint_only)
-    metrics.close()
     return state
