@@ -155,6 +155,8 @@ class _BlockScan(nn.Module):
     @nn.compact
     def __call__(self, carry, h_task, h_adapter):
         cls = BridgeBlockPro if self.cfg.use_pro_version else BridgeBlock
+        if self.rt.remat:
+            cls = nn.remat(cls, policy=jax.checkpoint_policies.nothing_saveable)
         out = cls(self.cfg, self.rt, name="block")(carry, h_task, h_adapter)
         return out, None
 

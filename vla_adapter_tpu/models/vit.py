@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Optional, Type
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vla_adapter_tpu.core.config import ViTConfig
@@ -186,6 +187,12 @@ class VisionTransformer(nn.Module):
         if cfg.film_llm_dim is not None and lang is not None:
             lang = lang.astype(rt.dtype)
 
+        block_cls = ViTBlock
+        if rt.remat:
+            block_cls = nn.remat(
+                ViTBlock, policy=jax.checkpoint_policies.nothing_saveable
+            )
+
         num_blocks = cfg.resolved_feature_layer + 1
         scanned = nn.scan(
             _BlockScanBody,
@@ -194,7 +201,7 @@ class VisionTransformer(nn.Module):
             length=num_blocks,
             in_axes=(nn.broadcast,),
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
-        )(cfg=cfg, rt=rt, block_cls=ViTBlock, name="blocks")
+        )(cfg=cfg, rt=rt, block_cls=block_cls, name="blocks")
         x, _ = scanned(x, lang)
 
         return x[:, cfg.num_prefix_tokens:]
