@@ -191,6 +191,28 @@ def test_oxe_factory_contracts():
                                 load_camera_views=("left_wrist",))
 
 
+def test_oxe_registry_full_catalog():
+    """Every registered dataset has a standardization transform, every
+    mixture member is registered, and the catalog covers the reference's
+    inventory scale (77 datasets / 23+ mixtures)."""
+    from vla_adapter_tpu.data.rlds.oxe.configs import OXE_DATASET_CONFIGS
+    from vla_adapter_tpu.data.rlds.oxe.mixtures import OXE_NAMED_MIXTURES
+    from vla_adapter_tpu.data.rlds.oxe.transforms import (
+        OXE_STANDARDIZATION_TRANSFORMS,
+    )
+
+    assert len(OXE_DATASET_CONFIGS) >= 77
+    assert len(OXE_NAMED_MIXTURES) >= 23
+    missing = set(OXE_DATASET_CONFIGS) - set(OXE_STANDARDIZATION_TRANSFORMS)
+    assert not missing, missing
+    for name, entries in OXE_NAMED_MIXTURES.items():
+        for ds, w in entries:
+            assert ds in OXE_DATASET_CONFIGS, (name, ds)
+            assert w > 0
+    for name, cfg in OXE_DATASET_CONFIGS.items():
+        assert "image_obs_keys" in cfg and "action_encoding" in cfg, name
+
+
 def test_full_pipeline_to_train_batches():
     """RLDS frames -> VLABatchTransform -> collate -> model batch shapes."""
     import dataclasses
