@@ -71,6 +71,26 @@ def test_predict_action_shape_and_range(predictor):
     assert np.isfinite(back).all()
 
 
+def test_int8_predictor_close_to_fp(predictor):
+    import dataclasses
+
+    from vla_adapter_tpu.infer.predict import Predictor
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+            for _ in range(2)]
+    p = rng.normal(size=8)
+    pred_q = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=predictor.rt, center_crop=False, int8=True,
+    )
+    a_fp = predictor.predict_action(imgs, "fold the towel", proprio=p)
+    a_q = pred_q.predict_action(imgs, "fold the towel", proprio=p)
+    assert np.isfinite(a_q).all()
+    assert np.corrcoef(a_q.ravel(), a_fp.ravel())[0, 1] > 0.99
+
+
 def test_batch_matches_single(predictor):
     rng = np.random.default_rng(2)
     imgs1 = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)

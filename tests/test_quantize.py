@@ -1,0 +1,65 @@
+"""int8 weight-only serving: quantize/dequantize + quantized forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_train_step import TINY_CFG
+from vla_adapter_tpu.data.dummy import make_dummy_batch
+from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.quantize import (
+    dequantize_params,
+    quantize_kernel,
+    quantize_params,
+)
+from vla_adapter_tpu.models.vla import VLAModel
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(64, 32)).astype(np.float32)
+    q, s = quantize_kernel(k)
+    assert q.dtype == np.int8 and s.shape == (32,)
+    back = q.astype(np.float32) * s
+    assert np.abs(back - k).max() <= np.abs(k).max() / 127 + 1e-6
+    # scanned stack
+    k3 = rng.normal(size=(4, 64, 32)).astype(np.float32)
+    q3, s3 = quantize_kernel(k3)
+    assert q3.shape == (4, 64, 32) and s3.shape == (4, 32)
+
+
+def test_quantized_model_forward_close_to_fp():
+    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model_fp = VLAModel(TINY_CFG, rt_fp)
+    batch = make_dummy_batch(TINY_CFG, 2, np.random.default_rng(0))
+    batch = jax.tree.map(jnp.asarray, batch)
+    kwargs = dict(
+        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
+        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
+        proprio=batch["proprio"],
+    )
+    params = model_fp.init(jax.random.key(0), **kwargs)["params"]
+    out_fp = np.asarray(model_fp.apply({"params": params}, **kwargs)["actions"])
+
+    q_params = quantize_params(jax.device_get(params))
+    # conv kernel stayed float; dense kernels became int8
+    flat = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(q_params)[0]}
+    assert any("kernel_q" in k for k in flat)
+    assert any("patch_embed" in k and k.endswith("['kernel']") for k in flat)
+    assert all(v.dtype == np.int8 for k, v in flat.items() if "kernel_q" in k)
+
+    rt_q = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                   attn_impl="xla", weights_int8=True)
+    model_q = VLAModel(TINY_CFG, rt_q)
+    out_q = np.asarray(model_q.apply({"params": q_params}, **kwargs)["actions"])
+    # int8 weight-only: small relative error on outputs of magnitude ~1
+    assert np.abs(out_q - out_fp).max() < 0.15, np.abs(out_q - out_fp).max()
+    assert np.corrcoef(out_q.ravel(), out_fp.ravel())[0, 1] > 0.99
+
+    # dequantize reconstructs kernels within a quantization step
+    deq = dequantize_params(q_params)
+    out_dq = np.asarray(model_fp.apply({"params": deq}, **kwargs)["actions"])
+    np.testing.assert_allclose(out_dq, out_q, atol=1e-5)

