@@ -295,6 +295,45 @@ def test_transform_and_collate():
     assert micro["pixel_values"].shape == (2, 2, 2, 224, 224, 6)
 
 
+def test_image_processor_strategies():
+    """letterbox pads to square with gray fill; resize-crop center-crops;
+    resize-naive squashes (the released configs' strategy)."""
+    from PIL import Image
+
+    from vla_adapter_tpu.data.image_processing import ImageProcessor, TowerSpec
+
+    wide = np.zeros((40, 80, 3), np.uint8)
+    wide[:, :, 0] = 200  # red-ish everywhere
+    towers = (TowerSpec(size=32),)
+
+    naive = ImageProcessor(towers, resize_strategy="resize-naive")(wide)
+    assert naive.shape == (32, 32, 3)
+
+    lb = ImageProcessor(towers, resize_strategy="letterbox")(wide)
+    # top/bottom bands are letterbox fill (127 gray) after normalization
+    fill_norm = (127 / 255 - 0.484375) / 0.228515625
+    assert abs(float(lb[0, 16, 0]) - fill_norm) < 0.1
+    # center row is image content, not fill
+    assert abs(float(lb[16, 16, 0]) - fill_norm) > 0.5
+
+    rc = ImageProcessor(towers, resize_strategy="resize-crop")(wide)
+    assert rc.shape == (32, 32, 3)
+
+    with pytest.raises(ValueError):
+        ImageProcessor(towers, resize_strategy="bogus")(wide)
+
+
+def test_profiling_steptimer_and_trace(tmp_path):
+    from vla_adapter_tpu.utils.profiling import trace
+
+    import jax
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path), enabled=True):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    assert any(tmp_path.rglob("*.xplane.pb")), list(tmp_path.rglob("*"))
+
+
 def test_inference_ids_layout():
     cfg = VLAConfig()
     tok = MockTokenizer()

@@ -43,20 +43,33 @@ TINY_CFG = VLAConfig(
     ),
     vision=FusedVisionConfig(
         primary=ViTConfig(name="p", image_size=28, patch_size=14, hidden_size=32,
-                          num_layers=3, num_heads=4, mlp_dim=64,
+                          num_layers=2, num_heads=4, mlp_dim=64,
                           use_cls_token=True, num_register_tokens=2,
                           pos_embed_patches_only=True, layer_scale_init=1e-5),
         fused=None,
         num_images=2,
     ),
-    llm=Qwen2Config(vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+    llm=Qwen2Config(vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
                     num_kv_heads=2, intermediate_size=128, head_dim=16),
-    head=ActionHeadConfig(num_blocks=4, hidden_dim=64, use_pro_version=True),
+    head=ActionHeadConfig(num_blocks=2, hidden_dim=64, use_pro_version=True),
     max_text_tokens=32,
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _setup_cached(lora_rank, accum, batch_size):
+    return _setup_impl(lora_rank, accum, batch_size)
+
+
 def _setup(lora_rank, accum=1, batch_size=4):
+    """Cached across tests — the jitted step dominates suite runtime."""
+    return _setup_cached(lora_rank, accum, batch_size)
+
+
+def _setup_impl(lora_rank, accum=1, batch_size=4):
     rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
                  lora_rank=lora_rank, lora_scale=2.0)
     model = VLAModel(TINY_CFG, rt)

@@ -371,6 +371,8 @@ def make_single_dataset(
     ds, stats = make_dataset_from_rlds(train=train, **dataset_kwargs)
     ds = apply_trajectory_transforms(ds, train=train, **traj_transform_kwargs)
     ds = flatten_trajectories(ds)
+    if not train:
+        ds = ds.cache()  # validation epochs re-read from memory (reference :449)
     ds = apply_frame_transforms(ds, train=train, **frame_transform_kwargs)
     return ds, stats
 
