@@ -18,7 +18,7 @@ Canonical model geometry (reference: pretrained_models/configs/config.json):
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from vla_adapter_tpu.core.constants import PlatformConstants, get_platform

@@ -9,7 +9,7 @@ data mixture, and the training hyperparameters. The reference gates runs on
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 
 @dataclass(frozen=True)

@@ -8,7 +8,7 @@ microbatch fold for gradient accumulation.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ the reference's architecture (tf.data + torch-side RLDSBatchTransform).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

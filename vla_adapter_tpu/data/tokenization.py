@@ -13,8 +13,6 @@ a mock without transformers.
 
 from __future__ import annotations
 
-from typing import Optional
-
 NUM_EXTRA_TOKENS = 256
 
 

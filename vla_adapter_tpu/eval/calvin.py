@@ -17,10 +17,9 @@ Multi-process sharding splits the 1000 chains across jax processes
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 import logging
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Sequence
 
 import numpy as np
 

@@ -32,7 +32,6 @@ def build_calvin_assets(dataset_path: str, num_sequences: int):
     CALVIN validation assets (reference evaluate_calvin.py:820-915)."""
     from calvin_agent.evaluation.multistep_sequences import get_sequences
     from calvin_agent.evaluation.utils import get_env_state_for_initial_condition
-    import calvin_agent.evaluation.utils as calvin_utils  # noqa: F401
     import hydra
     from omegaconf import OmegaConf
 

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import time
 from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Two policies for turning chunked predictions into per-step actions:
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 

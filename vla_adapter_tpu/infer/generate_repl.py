@@ -10,8 +10,6 @@ completions for typed prompts with the causal PrismaticVLM path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 import jax.numpy as jnp
@@ -34,7 +32,6 @@ class GenerateConfig:
 def main(argv=None) -> None:
     import jax
 
-    from vla_adapter_tpu.data.image_processing import image_processor_for
     from vla_adapter_tpu.data.prompting import PROMPT_BUILDERS
     from vla_adapter_tpu.data.tokenization import load_qwen_tokenizer
     from vla_adapter_tpu.models.generate import greedy_generate

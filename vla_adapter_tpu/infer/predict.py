@@ -10,7 +10,6 @@ host-side q01/q99 unnormalization.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -19,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from vla_adapter_tpu.core.config import VLAConfig
-from vla_adapter_tpu.core.constants import NormalizationType
 from vla_adapter_tpu.data.image_processing import image_processor_for, prepare_image
 from vla_adapter_tpu.data.normalization import normalize, unnormalize
 from vla_adapter_tpu.data.transform import VLABatchTransform

@@ -13,7 +13,7 @@ and merging is a pure param-tree transform (models/lora.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ RLDS (the reference documents the same swap, finetune.py:937-946).
 from __future__ import annotations
 
 import dataclasses
-import sys
 from typing import Optional
 
 from vla_adapter_tpu.core.cli import parse_config

@@ -8,10 +8,8 @@ runs — the reference documents the same swap, finetune.py:937-946).
 
 from __future__ import annotations
 
-import dataclasses
-import time
 from pathlib import Path
-from typing import Any, Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp

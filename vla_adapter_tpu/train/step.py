@@ -10,7 +10,7 @@ reference gets from DDP/FSDP hooks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.struct
 import jax
