@@ -252,3 +252,12 @@ def test_greedy_generate_matches_hf():
         jnp.array([6], jnp.int32), max_new_tokens=8,
     )
     np.testing.assert_array_equal(np.asarray(got)[0], hf_out[0])
+
+    # KV-cached decode must produce the identical sequence
+    from vla_adapter_tpu.models.generate import greedy_generate_cached
+
+    got_cached = greedy_generate_cached(
+        model, params["params"], jnp.asarray(buf), prompt_len=6,
+        max_new_tokens=8,
+    )
+    np.testing.assert_array_equal(np.asarray(got_cached)[0], hf_out[0])

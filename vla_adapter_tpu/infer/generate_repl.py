@@ -34,7 +34,7 @@ def main(argv=None) -> None:
 
     from vla_adapter_tpu.data.prompting import PROMPT_BUILDERS
     from vla_adapter_tpu.data.tokenization import load_qwen_tokenizer
-    from vla_adapter_tpu.models.generate import greedy_generate
+    from vla_adapter_tpu.models.generate import greedy_generate_cached
     from vla_adapter_tpu.models.layers import Runtime
     from vla_adapter_tpu.models.qwen2 import Qwen2Model
     from vla_adapter_tpu.weights.load import (
@@ -65,8 +65,8 @@ def main(argv=None) -> None:
         p = len(ids)
         buf = np.zeros((1, p + cfg.max_new_tokens), np.int32)
         buf[0, :p] = ids
-        out = greedy_generate(
-            llm, params, jnp.asarray(buf), jnp.array([p], jnp.int32),
+        out = greedy_generate_cached(
+            llm, params, jnp.asarray(buf), prompt_len=p,
             max_new_tokens=cfg.max_new_tokens,
             eos_token_id=tok.eos_token_id,
             temperature=cfg.temperature,

@@ -101,6 +101,68 @@ def greedy_generate(
     return ids
 
 
+def greedy_generate_cached(
+    model,
+    params,
+    input_ids: jnp.ndarray,
+    prompt_len: int,
+    max_new_tokens: int,
+    eos_token_id: Optional[int] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """KV-cached autoregressive decode (one prefill + O(1)-context steps).
+
+    input_ids: (B, T) with a UNIFORM prompt length `prompt_len` (int) and
+    T >= prompt_len + max_new_tokens. ~S/1 cheaper per step than
+    :func:`greedy_generate`'s full recompute. HF-cache-equivalent: verified
+    token-exact against transformers' cached generate in tests.
+    """
+    batch, total = input_ids.shape
+    prompt = input_ids[:, :prompt_len]
+    out = model.apply(
+        {"params": params}, input_ids=prompt,
+        valid=jnp.ones((batch, prompt_len), jnp.int32), causal=True,
+        compute_logits=True, return_kv=True,
+    )
+    k, v = out["kv_cache"]  # (L, B, S, Hkv, Dh)
+    pad = total - prompt_len
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    first_logits = out["logits"][:, prompt_len - 1]
+
+    def pick(logits, i):
+        if temperature > 0 and rng is not None:
+            return jax.random.categorical(
+                jax.random.fold_in(rng, i), logits / temperature, axis=-1
+            )
+        return jnp.argmax(logits, axis=-1)
+
+    from vla_adapter_tpu.models.qwen2 import Qwen2Decode
+
+    decoder = Qwen2Decode(model.cfg, model.rt)
+
+    def step_fn(carry, i):
+        ids, kv_k, kv_v, logits, done = carry
+        tok = pick(logits, i).astype(ids.dtype)
+        pos = prompt_len + i
+        write = ~done
+        ids = ids.at[:, pos].set(jnp.where(write, tok, ids[:, pos]))
+        next_logits, (kv_k, kv_v) = decoder.apply(
+            {"params": params}, tok[:, None], (kv_k, kv_v), pos
+        )
+        if eos_token_id is not None:
+            done = done | (tok == eos_token_id)
+        return (ids, kv_k, kv_v, next_logits, done), None
+
+    done0 = jnp.zeros((batch,), bool)
+    (ids, _, _, _, _), _ = jax.lax.scan(
+        step_fn, (input_ids, k, v, first_logits, done0),
+        jnp.arange(max_new_tokens),
+    )
+    return ids
+
+
 def predict_action_autoregressive(
     vlm,
     params,

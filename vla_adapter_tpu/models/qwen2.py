@@ -35,72 +35,148 @@ class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
     rt: Runtime
 
-    @nn.compact
-    def __call__(self, x, cos, sin, valid, causal: bool):
+    def setup(self):
+        cfg, rt = self.cfg, self.rt
+        self.q_proj = Dense(cfg.num_heads * cfg.head_dim,
+                            use_bias=cfg.attention_bias, rt=rt)
+        self.k_proj = Dense(cfg.num_kv_heads * cfg.head_dim,
+                            use_bias=cfg.attention_bias, rt=rt)
+        self.v_proj = Dense(cfg.num_kv_heads * cfg.head_dim,
+                            use_bias=cfg.attention_bias, rt=rt)
+        self.o_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
+
+    def _qkv(self, x):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        q = self.q_proj(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = self.k_proj(x).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = self.v_proj(x).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        return q, k, v
+
+    def __call__(self, x, cos, sin, valid, causal: bool, return_kv: bool = False):
         cfg, rt = self.cfg, self.rt
         b, s, _ = x.shape
-        q = Dense(cfg.num_heads * cfg.head_dim, use_bias=cfg.attention_bias,
-                  rt=rt, name="q_proj")(x)
-        k = Dense(cfg.num_kv_heads * cfg.head_dim, use_bias=cfg.attention_bias,
-                  rt=rt, name="k_proj")(x)
-        v = Dense(cfg.num_kv_heads * cfg.head_dim, use_bias=cfg.attention_bias,
-                  rt=rt, name="v_proj")(x)
-        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = self._qkv(x)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
         out = dot_product_attention(q, k, v, valid, causal=causal, impl=rt.attn_impl)
-        out = out.reshape(b, s, cfg.num_heads * cfg.head_dim)
-        return Dense(cfg.hidden_size, use_bias=False, rt=rt, name="o_proj")(out)
+        out = self.o_proj(out.reshape(b, s, cfg.num_heads * cfg.head_dim))
+        if return_kv:
+            return out, (k, v)  # roped k — directly cacheable
+        return out
+
+    def decode_step(self, x, k_cache, v_cache, pos):
+        """Single-token cached attention.
+
+        x: (B, 1, D); k_cache/v_cache: (B, max_len, Hkv, Dh); pos: scalar
+        position of the new token. Returns (out, k_cache, v_cache).
+        """
+        cfg = self.cfg
+        b = x.shape[0]
+        q, k, v = self._qkv(x)
+        cos, sin = rope_cos_sin(
+            1, cfg.head_dim, cfg.rope_theta, dtype=x.dtype,
+            positions=jnp.array([pos]),
+        )
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0, 0))
+        groups = cfg.num_heads // cfg.num_kv_heads
+        kk = jnp.repeat(k_cache, groups, axis=2)  # (B, max, H, Dh)
+        vv = jnp.repeat(v_cache, groups, axis=2)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                       kk.astype(jnp.float32)) * cfg.head_dim ** -0.5
+        mask = jnp.arange(k_cache.shape[1])[None, None, None, :] <= pos
+        s = jnp.where(mask, s, -2.0e9)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, vv.astype(jnp.float32))
+        out = out.astype(x.dtype).reshape(b, 1, cfg.num_heads * cfg.head_dim)
+        return self.o_proj(out), k_cache, v_cache
 
 
 class Qwen2MLP(nn.Module):
     cfg: Qwen2Config
     rt: Runtime
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         cfg, rt = self.cfg, self.rt
-        gate = Dense(cfg.intermediate_size, use_bias=False, rt=rt, name="gate_proj")(x)
-        up = Dense(cfg.intermediate_size, use_bias=False, rt=rt, name="up_proj")(x)
-        return Dense(cfg.hidden_size, use_bias=False, rt=rt, name="down_proj")(
-            nn.silu(gate) * up
-        )
+        self.gate_proj = Dense(cfg.intermediate_size, use_bias=False, rt=rt)
+        self.up_proj = Dense(cfg.intermediate_size, use_bias=False, rt=rt)
+        self.down_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
+
+    def __call__(self, x):
+        return self.down_proj(nn.silu(self.gate_proj(x)) * self.up_proj(x))
 
 
 class Qwen2DecoderLayer(nn.Module):
     cfg: Qwen2Config
     rt: Runtime
 
-    @nn.compact
-    def __call__(self, x, cos, sin, valid, causal: bool):
+    def setup(self):
         cfg, rt = self.cfg, self.rt
-        h = RMSNorm(cfg.rms_norm_eps, rt=rt, name="input_layernorm")(x)
-        x = x + Qwen2Attention(cfg, rt, name="self_attn")(h, cos, sin, valid, causal)
-        h = RMSNorm(cfg.rms_norm_eps, rt=rt, name="post_attention_layernorm")(x)
-        x = x + Qwen2MLP(cfg, rt, name="mlp")(h)
-        return x
+        self.input_layernorm = RMSNorm(cfg.rms_norm_eps, rt=rt)
+        self.self_attn = Qwen2Attention(cfg, rt)
+        self.post_attention_layernorm = RMSNorm(cfg.rms_norm_eps, rt=rt)
+        self.mlp = Qwen2MLP(cfg, rt)
+
+    def __call__(self, x, cos, sin, valid, causal: bool,
+                 return_kv: bool = False):
+        h = self.input_layernorm(x)
+        attn = self.self_attn(h, cos, sin, valid, causal, return_kv=return_kv)
+        if return_kv:
+            attn, kv = attn
+        x = x + attn
+        h = self.post_attention_layernorm(x)
+        out = x + self.mlp(h)
+        return (out, kv) if return_kv else out
+
+    def decode_step(self, x, k_cache, v_cache, pos):
+        h = self.input_layernorm(x)
+        attn, k_cache, v_cache = self.self_attn.decode_step(
+            h, k_cache, v_cache, pos
+        )
+        x = x + attn
+        h = self.post_attention_layernorm(x)
+        return x + self.mlp(h), k_cache, v_cache
 
 
 class _ScanBody(nn.Module):
     """Adapter giving nn.scan the (carry, y) protocol around a decoder layer.
 
-    y = the layer's *input*, so stacked ys == HF hidden_states[0..L-1]
-    (embeddings followed by layer outputs 1..L-1).
+    ys = the layer's *input* (stacked == HF hidden_states[0..L-1]) plus,
+    when return_kv, the layer's roped (k, v) for cache prefill.
     """
 
     cfg: Qwen2Config
     rt: Runtime
     causal: bool
     layer_cls: Type[nn.Module]
+    return_kv: bool = False
 
     @nn.compact
     def __call__(self, carry, cos, sin, valid):
         out = self.layer_cls(self.cfg, self.rt, name="layer")(
-            carry, cos, sin, valid, self.causal
+            carry, cos, sin, valid, self.causal, self.return_kv
         )
+        if self.return_kv:
+            out, kv = out
+            return out, (carry, kv)
         return out, carry
+
+
+class _DecodeScanBody(nn.Module):
+    """Scan body for single-token cached decoding: carry = hidden state,
+    xs/ys = the per-layer KV cache."""
+
+    cfg: Qwen2Config
+    rt: Runtime
+
+    @nn.compact
+    def __call__(self, carry, k_cache, v_cache, pos):
+        layer = Qwen2DecoderLayer(self.cfg, self.rt, name="layer")
+        out, k_cache, v_cache = layer.decode_step(carry, k_cache, v_cache, pos)
+        return out, (k_cache, v_cache)
 
 
 class Qwen2Model(nn.Module):
@@ -145,6 +221,7 @@ class Qwen2Model(nn.Module):
         positions: Optional[jnp.ndarray] = None,
         output_hidden_states: bool = False,
         compute_logits: bool = False,
+        return_kv: bool = False,
     ):
         cfg, rt = self.cfg, self.rt
         if inputs_embeds is None:
@@ -160,7 +237,7 @@ class Qwen2Model(nn.Module):
         if rt.remat:
             layer_cls = nn.remat(
                 Qwen2DecoderLayer,
-                static_argnums=(5,),
+                static_argnums=(5, 6),
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
 
@@ -172,8 +249,13 @@ class Qwen2Model(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
-        )(cfg=cfg, rt=rt, causal=causal, layer_cls=layer_cls, name="layers")
-        x, per_layer_inputs = scanned(x, cos, sin, valid)
+        )(cfg=cfg, rt=rt, causal=causal, layer_cls=layer_cls,
+          return_kv=return_kv, name="layers")
+        x, ys = scanned(x, cos, sin, valid)
+        if return_kv:
+            per_layer_inputs, kv = ys
+        else:
+            per_layer_inputs = ys
 
         final = RMSNorm(cfg.rms_norm_eps, rt=rt, name="norm")(x)
 
@@ -184,4 +266,48 @@ class Qwen2Model(nn.Module):
             out["hidden_states"] = hs
         if compute_logits:
             out["logits"] = self.embed.attend(final)  # tied lm head
+        if return_kv:
+            out["kv_cache"] = kv  # (k, v) each (L, B, S, Hkv, Dh), k roped
         return out
+
+
+class Qwen2Decode(nn.Module):
+    """KV-cached single-token decode twin of :class:`Qwen2Model`.
+
+    Same param tree by construction (embed / layers/layer / norm) — apply it
+    with the params initialized by Qwen2Model. One cached step:
+
+      input_ids: (B, 1) new token ids; kv_cache: (k, v) each
+      (L, B, max_len, Hkv, Dh) with roped k; pos: scalar write/attend
+      position (uniform across the batch — pad prompts to a common length
+      for batched decode). Returns (logits (B, vocab), new kv_cache).
+    """
+
+    cfg: Qwen2Config
+    rt: Runtime = Runtime()
+
+    def setup(self):
+        self.embed = nn.Embed(
+            self.cfg.vocab_size,
+            self.cfg.hidden_size,
+            dtype=self.rt.dtype,
+            param_dtype=self.rt.param_dtype,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+        )
+
+    @nn.compact
+    def __call__(self, input_ids, kv_cache, pos):
+        cfg, rt = self.cfg, self.rt
+        x = self.embed(input_ids).astype(rt.dtype)
+        scanned = nn.scan(
+            _DecodeScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+            in_axes=(0, 0, nn.broadcast),
+            out_axes=0,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )(cfg=cfg, rt=rt, name="layers")
+        x, kv_cache = scanned(x, kv_cache[0], kv_cache[1], pos)
+        final = RMSNorm(cfg.rms_norm_eps, rt=rt, name="norm")(x)
+        return self.embed.attend(final)[:, 0], kv_cache
