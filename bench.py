@@ -62,18 +62,21 @@ def main():
     np.asarray(fwd(params, proprios[0]))  # compile + warm
 
     def timed(fn, args_list, iters):
-        t0 = time.time()
+        # median of per-call walls — the tunnel RTT is noisy and spiky
+        times = []
         for i in range(iters):
+            t0 = time.time()
             np.asarray(fn(*args_list[i % len(args_list)]))
-        return (time.time() - t0) / iters
+            times.append(time.time() - t0)
+        return float(np.median(times))
 
     # dispatch-overhead control: trivial computation, same call pattern
     ctrl = jax.jit(lambda x: x * 2.0 + 1.0)
     ctrl_args = [(p,) for p in proprios]
     np.asarray(ctrl(*ctrl_args[0]))
-    overhead = timed(ctrl, ctrl_args, 16)
+    overhead = timed(ctrl, ctrl_args, 24)
 
-    wall = timed(fwd, [(params, p) for p in proprios], 16)
+    wall = timed(fwd, [(params, p) for p in proprios], 24)
     latency = max(wall - overhead, 1e-6)
 
     print(json.dumps({
