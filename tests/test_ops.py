@@ -1,0 +1,76 @@
+"""ops/: mask builders + the Pallas kernel in CPU interpret mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vla_adapter_tpu.ops.attention import xla_attention
+from vla_adapter_tpu.ops.masks import (
+    build_attention_mask,
+    causal_mask,
+    combine_masks,
+    padding_mask,
+    prefix_bidirectional_mask,
+)
+from vla_adapter_tpu.ops.pallas_attention import fused_attention
+
+
+def test_mask_builders():
+    valid = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 1]])
+    pad = padding_mask(valid)
+    assert pad.shape == (2, 1, 4, 4)
+    assert not pad[0, 0, 0, 3] and pad[1, 0, 0, 3]
+
+    cm = causal_mask(4)
+    assert cm[0, 0, 1, 0] and not cm[0, 0, 0, 1]
+
+    m = build_attention_mask("causal", valid, 4)
+    assert m.shape == (2, 1, 4, 4)
+    assert not m[0, 0, 3, 3] or valid[0, 3]  # padded key excluded
+
+    bidir = build_attention_mask("bidirectional", valid, 4)
+    assert bidir[0, 0, 0, 2] and not bidir[0, 0, 0, 3]
+    assert build_attention_mask("bidirectional", None, 4) is None
+
+    pb = prefix_bidirectional_mask(5, 3)
+    # suffix (>=3) attends forward within the suffix; prefix stays causal
+    assert pb[0, 0, 3, 4] and not pb[0, 0, 1, 2]
+    assert pb[0, 0, 2, 0]
+    # per-batch suffix starts
+    pb2 = prefix_bidirectional_mask(5, jnp.asarray([3, 1]))
+    assert pb2.shape == (2, 1, 5, 5)
+    assert pb2[1, 0, 1, 4] and not pb2[0, 0, 1, 4]
+
+    with pytest.raises(ValueError):
+        build_attention_mask("nope", valid, 4)
+    with pytest.raises(ValueError):
+        build_attention_mask("prefix_bidir", valid, 4)
+    assert combine_masks(None, None) is None
+
+
+@pytest.mark.parametrize("causal", [False, True], ids=["bidir", "causal"])
+def test_pallas_kernel_interpret_matches_xla(causal):
+    """The kernel's math/masking, exercised on CPU via interpret mode."""
+    rng = np.random.default_rng(0)
+    B, S, H, Hkv, D = 2, 37, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    valid = np.ones((B, S), np.int32)
+    valid[0, 30:] = 0
+
+    got = fused_attention(q, k, v, jnp.asarray(valid), causal=causal,
+                          interpret=True)
+    want = xla_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), jnp.asarray(valid), causal=causal,
+        sm_scale=D ** -0.5,
+    ).transpose(0, 2, 1, 3)
+    m = valid.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3)[m],
+        np.asarray(want).transpose(0, 2, 1, 3)[m],
+        atol=1e-5, rtol=1e-5,
+    )

@@ -77,7 +77,9 @@ def _pick_block_q(seq_len: int) -> int:
     return 256
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "interpret")
+)
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -87,6 +89,7 @@ def fused_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     block_q: int | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused multi-head attention.
 
@@ -136,6 +139,7 @@ def fused_attention(
                                lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, num_heads, padded, head_dim), q.dtype),
+        interpret=interpret,  # CPU-testable kernel logic
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * padded * padded * head_dim,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
