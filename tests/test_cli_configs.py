@@ -1,0 +1,44 @@
+"""CLI config dataclasses parse cleanly for every entry point."""
+
+import pytest
+
+from vla_adapter_tpu.core.cli import parse_config
+
+
+def test_all_cli_configs_parse():
+    from vla_adapter_tpu.data.download import DownloadConfig
+    from vla_adapter_tpu.eval.calvin_eval import CalvinCLIConfig
+    from vla_adapter_tpu.eval.libero_eval import LiberoCLIConfig
+    from vla_adapter_tpu.eval.parity_check import ParityConfig
+    from vla_adapter_tpu.eval.regenerate_libero import RegenerateConfig
+    from vla_adapter_tpu.eval.verify_smoke import VerifyConfig
+    from vla_adapter_tpu.infer.generate_repl import GenerateConfig
+    from vla_adapter_tpu.serve.deploy import DeployConfig
+    from vla_adapter_tpu.train.finetune import FinetuneCLIConfig
+    from vla_adapter_tpu.train.pretrain import PretrainConfig
+    from vla_adapter_tpu.weights.merge import MergeConfig
+
+    cases = [
+        (FinetuneCLIConfig, ["--data.mixture", "calvin", "--train.batch_size", "4"]),
+        (PretrainConfig, ["--stage", "finetune", "--batch_size", "2"]),
+        (DeployConfig, ["--ckpt_dir", "/x", "--port", "9000"]),
+        (LiberoCLIConfig, ["--ckpt_dir", "/x",
+                           "--eval.task_suite_name", "libero_goal",
+                           "--eval.num_trials_per_task", "5"]),
+        (CalvinCLIConfig, ["--ckpt_dir", "/x", "--eval.num_sequences", "10"]),
+        (VerifyConfig, ["--ckpt_dir", "/x", "--iters", "2"]),
+        (ParityConfig, ["--mode", "record", "--ckpt_dir", "/x", "--obs", "/y"]),
+        (MergeConfig, ["--ckpt_dir", "/x", "--out_dir", "/y",
+                       "--lora_scale", "4.0"]),
+        (GenerateConfig, ["--ckpt_dir", "/x", "--temperature", "0.7"]),
+        (RegenerateConfig, ["--task_suite", "libero_object"]),
+        (DownloadConfig, ["--mixture", "rtx", "--dry_run", "true"]),
+    ]
+    for cls, argv in cases:
+        cfg = parse_config(cls, argv)
+        assert cfg is not None
+    # nested override sanity
+    cfg = parse_config(LiberoCLIConfig, ["--eval.num_trials_per_task", "7"])
+    assert cfg.eval.num_trials_per_task == 7
+    with pytest.raises(KeyError):
+        parse_config(DeployConfig, ["--prot", "1"])

@@ -32,7 +32,7 @@ NUM_SEQUENCES = 1000
 EP_LEN = 80  # ensembling cycles per subtask rollout
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class CalvinEvalConfig:
     num_sequences: int = NUM_SEQUENCES
     ep_len: int = EP_LEN

@@ -40,7 +40,7 @@ NUM_STEPS_WAIT = 10
 LIBERO_ENV_RESOLUTION = 256
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class LiberoEvalConfig:
     task_suite_name: str = "libero_spatial"
     num_trials_per_task: int = 50
