@@ -43,11 +43,19 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host init (replaces torchrun + NCCL process groups)."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    """Multi-host init (replaces torchrun + NCCL process groups).
+
+    Must run before the first backend touch: calling jax.devices() /
+    jax.process_count() first would lock in a single-process backend, so we
+    check the distributed client state directly instead of process_count().
+    """
+    if coordinator_address is None:
+        return  # single-process; never touch the backend from here
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # already initialized (idempotent, like torch init_process_group)
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
 def create_mesh(
