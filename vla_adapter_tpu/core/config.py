@@ -231,6 +231,38 @@ class VLAConfig:
         return self.constants.num_action_query_tokens
 
 
+def vla_config_to_dict(cfg: VLAConfig) -> dict:
+    """Lossless JSON-able encoding (checkpoint config.json round-trip)."""
+    d = dataclasses.asdict(cfg)
+    if d.get("custom_constants"):
+        d["custom_constants"]["normalization_type"] = (
+            cfg.custom_constants.normalization_type.value
+        )
+    return d
+
+
+def vla_config_from_dict(d: dict) -> VLAConfig:
+    """Inverse of :func:`vla_config_to_dict`."""
+    from vla_adapter_tpu.core.constants import NormalizationType
+
+    d = dict(d)
+    cc = d.get("custom_constants")
+    if cc:
+        cc = dict(cc)
+        cc["normalization_type"] = NormalizationType(cc["normalization_type"])
+        d["custom_constants"] = PlatformConstants(**cc)
+    v = dict(d["vision"])
+    v["primary"] = ViTConfig(**v["primary"])
+    if v.get("fused"):
+        v["fused"] = ViTConfig(**v["fused"])
+    d["vision"] = FusedVisionConfig(**v)
+    d["llm"] = Qwen2Config(**{
+        k: tuple(x) if isinstance(x, list) else x for k, x in d["llm"].items()
+    })
+    d["head"] = ActionHeadConfig(**d["head"])
+    return VLAConfig(**d)
+
+
 # ---------------------------------------------------------------------------
 # LoRA / training
 # ---------------------------------------------------------------------------
@@ -287,6 +319,12 @@ class TrainConfig:
     fsdp_axis: int = 1
     tensor_axis: int = 1
     remat_llm: bool = True        # jax.checkpoint each decoder layer
+    # "nothing" (recompute everything in backward, min memory) or
+    # "dots_no_batch" (save matmul outputs whose dot has no batch dims).
+    # Measured on v5e @ bs8: "dots_no_batch" OOMs — our Dense folds the
+    # batch into M, so *every* dot qualifies and it degenerates to
+    # save-everything; "nothing" runs 465 ms/step. Keep "nothing".
+    remat_policy: str = "nothing"
     # Store frozen (non-trained) params in bf16 — halves the frozen base's
     # HBM with no optimizer impact (compute is bf16 anyway).
     frozen_bf16: bool = True

@@ -60,23 +60,35 @@ def prepare_image(
     tf = _tf()
     if tf is not None:
         t = tf.convert_to_tensor(image)
-        t = tf.io.decode_jpeg(tf.io.encode_jpeg(t))
-        t = tf.image.resize(t, (size, size), method="lanczos3", antialias=True)
-        t = tf.cast(tf.clip_by_value(tf.round(t), 0, 255), tf.uint8)
-        if center_crop_scale is not None:
-            batched = tf.expand_dims(tf.cast(t, tf.float32), 0)
-            s = center_crop_scale
-            # centered box of relative height/width sqrt(s) — the reference
-            # crops `scale` of the AREA (openvla_utils.py:568-648)
-            r = np.sqrt(s)
-            y0 = (1 - r) / 2
-            boxes = [[y0, y0, y0 + r, y0 + r]]
-            t = tf.image.crop_and_resize(batched, boxes, [0], (size, size))[0]
+        if tuple(image.shape) != (size, size, 3):
+            # the reference skips the JPEG round-trip + resize entirely when
+            # the image already has the policy size (openvla_utils.py:722)
+            t = tf.io.decode_jpeg(tf.io.encode_jpeg(t))
+            t = tf.image.resize(t, (size, size), method="lanczos3",
+                                antialias=True)
             t = tf.cast(tf.clip_by_value(tf.round(t), 0, 255), tf.uint8)
+        if center_crop_scale is not None:
+            # bit-parity with reference center_crop_image
+            # (openvla_utils.py:568-648): crop in [0,1] float scale, boxes of
+            # relative side sqrt(scale) — `scale` of the AREA — then a
+            # saturating uint8 round-trip.
+            f = tf.image.convert_image_dtype(t, tf.float32)  # /255
+            # box coords in fp32 TF ops, matching the reference bit-for-bit
+            r = tf.clip_by_value(
+                tf.sqrt(tf.constant(center_crop_scale, tf.float32)), 0, 1
+            )
+            y0 = (1 - r) / 2
+            boxes = tf.stack([y0, y0, y0 + r, y0 + r])[None]
+            f = tf.image.crop_and_resize(f[None], boxes, [0], (size, size))[0]
+            f = tf.clip_by_value(f, 0.0, 1.0)
+            t = tf.image.convert_image_dtype(f, tf.uint8, saturate=True)
         return t.numpy()
     # PIL fallback (no JPEG round-trip; close but not bit-identical)
-    img = Image.fromarray(image).resize((size, size), Image.LANCZOS)
-    arr = np.asarray(img)
+    if tuple(image.shape) != (size, size, 3):
+        image = np.asarray(
+            Image.fromarray(image).resize((size, size), Image.LANCZOS)
+        )
+    arr = image
     if center_crop_scale is not None:
         r = np.sqrt(center_crop_scale)
         h, w = arr.shape[:2]

@@ -156,7 +156,9 @@ class _BlockScan(nn.Module):
     def __call__(self, carry, h_task, h_adapter):
         cls = BridgeBlockPro if self.cfg.use_pro_version else BridgeBlock
         if self.rt.remat:
-            cls = nn.remat(cls, policy=jax.checkpoint_policies.nothing_saveable)
+            from vla_adapter_tpu.models.layers import remat_policy
+
+            cls = nn.remat(cls, policy=remat_policy(self.rt))
         out = cls(self.cfg, self.rt, name="block")(carry, h_task, h_adapter)
         return out, None
 

@@ -38,6 +38,12 @@ class Runtime:
     lora_rank: int = 0
     lora_scale: float = 1.0
     remat: bool = False
+    # Remat policy when remat=True: "nothing" recomputes everything in the
+    # backward (min memory); "dots_no_batch" saves matmul outputs with no
+    # batch dims (XLA's checkpoint_dots_with_no_batch_dims — cheaper
+    # recompute at slightly more memory). Measured on the v5e chip in
+    # bench.py; see BASELINE.md.
+    remat_policy: str = "nothing"
     # Weight-only int8 serving: every Dense stores (kernel_q int8,
     # kernel_scale per-out-channel) instead of a float kernel. Batch-1
     # inference is HBM-bound — halving weight bytes cuts the latency floor.
@@ -47,6 +53,17 @@ class Runtime:
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
 FP32_RUNTIME = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+
+
+def remat_policy(rt: Runtime):
+    """Resolve rt.remat_policy to a jax.checkpoint policy."""
+    import jax
+
+    if rt.remat_policy == "nothing":
+        return jax.checkpoint_policies.nothing_saveable
+    if rt.remat_policy == "dots_no_batch":
+        return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    raise ValueError(f"unknown remat_policy {rt.remat_policy!r}")
 
 
 class Dense(nn.Module):

@@ -235,10 +235,12 @@ class Qwen2Model(nn.Module):
 
         layer_cls: Type[nn.Module] = Qwen2DecoderLayer
         if rt.remat:
+            from vla_adapter_tpu.models.layers import remat_policy
+
             layer_cls = nn.remat(
                 Qwen2DecoderLayer,
                 static_argnums=(5, 6),
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=remat_policy(rt),
             )
 
         scanned = nn.scan(

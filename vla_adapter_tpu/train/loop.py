@@ -58,6 +58,7 @@ def build_runtime(cfg: TrainConfig) -> Runtime:
         lora_rank=cfg.lora.rank if cfg.lora.enabled else 0,
         lora_scale=cfg.lora.scale,
         remat=cfg.remat_llm,
+        remat_policy=cfg.remat_policy,
     )
 
 

@@ -184,4 +184,36 @@ def export_checkpoint_dir(params: Dict[str, Any], cfg: VLAConfig, out_dir,
         (out_dir / "dataset_statistics.json").write_text(
             json.dumps(norm_stats, indent=2)
         )
+    write_config_json(cfg, out_dir, norm_stats=norm_stats)
     return out_dir
+
+
+def write_config_json(cfg: VLAConfig, out_dir, norm_stats=None) -> Path:
+    """Reference-compatible config.json + a lossless `vla_adapter_tpu` block
+    so non-registry geometries round-trip through load.vla_config_from_checkpoint."""
+    from vla_adapter_tpu.core.config import vla_config_to_dict
+
+    l = cfg.llm
+    doc = {
+        "model_type": "openvla",
+        "n_action_bins": cfg.n_action_bins,
+        "text_config": {
+            "model_type": "qwen2",
+            "vocab_size": l.vocab_size,
+            "hidden_size": l.hidden_size,
+            "num_hidden_layers": l.num_layers,
+            "num_attention_heads": l.num_heads,
+            "num_key_value_heads": l.num_kv_heads,
+            "intermediate_size": l.intermediate_size,
+            "rms_norm_eps": l.rms_norm_eps,
+            "rope_theta": l.rope_theta,
+            "head_dim": l.head_dim,
+            "tie_word_embeddings": l.tie_word_embeddings,
+        },
+        "vla_adapter_tpu": vla_config_to_dict(cfg),
+    }
+    if norm_stats is not None:
+        doc["norm_stats"] = norm_stats
+    out = Path(out_dir) / "config.json"
+    out.write_text(json.dumps(doc, indent=2))
+    return out

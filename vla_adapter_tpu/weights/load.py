@@ -85,6 +85,12 @@ def vla_config_from_checkpoint(ckpt_dir) -> VLAConfig:
     from vla_adapter_tpu.models.registry import get_vision_backbone
 
     cfg_json = json.loads((Path(ckpt_dir) / "config.json").read_text())
+    if "vla_adapter_tpu" in cfg_json:
+        # our own exports carry a lossless encoding (weights/export.py) —
+        # covers geometries the vision-backbone registry doesn't name
+        from vla_adapter_tpu.core.config import vla_config_from_dict
+
+        return vla_config_from_dict(cfg_json["vla_adapter_tpu"])
     tc = cfg_json["text_config"]
     llm = Qwen2Config(
         vocab_size=tc["vocab_size"],
