@@ -5,6 +5,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # train-step compiles dominate
+
 import jax
 import jax.numpy as jnp
 

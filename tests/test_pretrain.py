@@ -156,3 +156,75 @@ def test_vlm_unimodal_forward():
     params = model.init(jax.random.key(0), input_ids=ids, text_valid=valid)["params"]
     out = model.apply({"params": params}, input_ids=ids, text_valid=valid)
     assert out["logits"].shape == (2, 16, VLM_CFG.llm.vocab_size)
+
+
+def test_last_layer_finetune_updates_only_last_layer():
+    """Reference semantics (qwen25.py:84-86 + vlms/prismatic.py:190-203):
+    last-layer-finetune trains exactly embed_tokens + layers[-1] (+ tied lm
+    head); the projector, vision tower, final norm, and layers[:-1] must not
+    move. The scanned stack is gated by stage_update_mask."""
+    import optax
+
+    from vla_adapter_tpu.train.optim import mask_updates
+    from vla_adapter_tpu.train.stages import stage_update_mask
+
+    model = PrismaticVLM(VLM_CFG, RT)
+    batch = {
+        "input_ids": jnp.asarray(
+            np.random.default_rng(0).integers(3, 100, size=(2, 64)), jnp.int32),
+        "text_valid": jnp.ones((2, 64), jnp.int32),
+        "pixel_values": jnp.zeros((2, 1, 28, 28, 3), jnp.float32),
+        "labels": jnp.asarray(
+            np.random.default_rng(1).integers(3, 100, size=(2, 64)), jnp.int32),
+    }
+    params = model.init(
+        jax.random.key(0),
+        input_ids=batch["input_ids"], text_valid=batch["text_valid"],
+        pixel_values=batch["pixel_values"], labels=batch["labels"],
+    )["params"]
+
+    trainable, frozen = split_by_stage(params, "last-layer-finetune")
+    assert set(trainable.keys()) == {"language_model"}
+    assert set(trainable["language_model"].keys()) == {"embed", "layers"}
+    assert "norm" in frozen["language_model"]  # final norm stays frozen
+    assert "projector" in frozen
+
+    tx = mask_updates(optax.sgd(1e-2), stage_update_mask(
+        trainable, "last-layer-finetune"))
+    opt_state = tx.init(trainable)
+
+    from vla_adapter_tpu.train.partition import merge_trees
+
+    def loss_fn(t):
+        out = model.apply(
+            {"params": merge_trees(t, frozen)},
+            input_ids=batch["input_ids"], text_valid=batch["text_valid"],
+            pixel_values=batch["pixel_values"], labels=batch["labels"],
+        )
+        return out["loss"]
+
+    grads = jax.grad(loss_fn)(trainable)
+    updates, _ = tx.update(grads, opt_state, trainable)
+    new = optax.apply_updates(trainable, updates)
+
+    # embed moved
+    emb_delta = np.abs(np.asarray(
+        new["language_model"]["embed"]["embedding"]
+        - trainable["language_model"]["embed"]["embedding"]))
+    assert emb_delta.max() > 0
+
+    # every stacked layer leaf: last slice moved, earlier slices bit-frozen
+    moved_any_last = False
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            trainable["language_model"]["layers"])[0]:
+        new_leaf = leaf
+        node = new["language_model"]["layers"]
+        for k in path:
+            node = node[k.key]
+        new_leaf = np.asarray(node)
+        old_leaf = np.asarray(leaf)
+        np.testing.assert_array_equal(new_leaf[:-1], old_leaf[:-1],
+                                      err_msg=str(path))
+        if np.abs(new_leaf[-1] - old_leaf[-1]).max() > 0:
+            moved_any_last = True
+    assert moved_any_last

@@ -8,6 +8,8 @@ sharding test on the 8-device CPU fake cluster.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # train-step compiles dominate
+
 import jax
 import jax.numpy as jnp
 

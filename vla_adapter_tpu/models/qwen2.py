@@ -82,15 +82,16 @@ class Qwen2Attention(nn.Module):
         k = apply_rope_half(k, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0, 0))
+        # grouped attention directly against the (B, max, Hkv, Dh) cache —
+        # no O(S*H) jnp.repeat materialization per decoded token
         groups = cfg.num_heads // cfg.num_kv_heads
-        kk = jnp.repeat(k_cache, groups, axis=2)  # (B, max, H, Dh)
-        vv = jnp.repeat(v_cache, groups, axis=2)
-        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                       kk.astype(jnp.float32)) * cfg.head_dim ** -0.5
-        mask = jnp.arange(k_cache.shape[1])[None, None, None, :] <= pos
+        qg = q.reshape(b, 1, cfg.num_kv_heads, groups, cfg.head_dim)
+        s = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
+                       k_cache.astype(jnp.float32)) * cfg.head_dim ** -0.5
+        mask = jnp.arange(k_cache.shape[1])[None, None, None, None, :] <= pos
         s = jnp.where(mask, s, -2.0e9)
         p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", p, vv.astype(jnp.float32))
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", p, v_cache.astype(jnp.float32))
         out = out.astype(x.dtype).reshape(b, 1, cfg.num_heads * cfg.head_dim)
         return self.o_proj(out), k_cache, v_cache
 

@@ -37,41 +37,82 @@ def checkpoint_dir(run_dir, step: int, latest_only: bool) -> Path:
     return run_dir / (LATEST if latest_only else f"step-{step:06d}")
 
 
+def _sync(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(
     run_dir,
     state: TrainState,
     dataset_statistics: Optional[Dict] = None,
     latest_only: bool = True,
 ) -> Path:
-    step = int(jax.device_get(state.step))
+    """Multi-host correct: sharded arrays are handed to orbax as-is (each
+    process writes its addressable shards; orbax coordinates), directory
+    surgery and metadata happen on process 0 only, with barriers replacing
+    the reference's dist.barrier() around checkpoint I/O
+    (finetune.py:544,575,601)."""
+    step = int(jax.device_get(state.step))  # step is replicated — safe
     out = checkpoint_dir(run_dir, step, latest_only)
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True)
+    if jax.process_index() == 0:
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True)
+    _sync("ckpt_dir_ready")
     ck = _ckptr()
-    host_state = jax.device_get(state)
-    ck.save(out / "trainable", host_state.trainable)
-    if jax.tree.leaves(host_state.frozen):
-        ck.save(out / "frozen", host_state.frozen)
-    ck.save(out / "opt_state", host_state.opt_state)
-    (out / "meta.json").write_text(json.dumps({"step": step}))
-    if dataset_statistics is not None:
-        (out / "dataset_statistics.json").write_text(
-            json.dumps(dataset_statistics, indent=2)
-        )
+    ck.save(out / "trainable", state.trainable)
+    if jax.tree.leaves(state.frozen):
+        ck.save(out / "frozen", state.frozen)
+    ck.save(out / "opt_state", state.opt_state)
+    if jax.process_index() == 0:
+        (out / "meta.json").write_text(json.dumps({"step": step}))
+        if dataset_statistics is not None:
+            (out / "dataset_statistics.json").write_text(
+                json.dumps(dataset_statistics, indent=2)
+            )
+    _sync("ckpt_written")
     return out
 
 
+def _restore_args(target):
+    """Per-leaf restore policy: leaves that live on an explicit sharding
+    (committed, e.g. via shard_params — incl. cross-process shards) restore
+    onto that same sharding; everything else (host numpy, uncommitted
+    scalars like Adam's count) restores as host values so jit re-places
+    them, exactly like the pre-resume state."""
+    from orbax.checkpoint import type_handlers
+
+    def one(x):
+        if isinstance(x, jax.Array) and (
+            not x.is_fully_addressable or getattr(x, "_committed", False)
+        ):
+            return type_handlers.ArrayRestoreArgs(
+                sharding=x.sharding, global_shape=x.shape, dtype=x.dtype
+            )
+        return type_handlers.RestoreArgs()
+
+    return jax.tree.map(one, target)
+
+
 def load_checkpoint(path, state: TrainState) -> TrainState:
-    """Restore into the structure of `state` (shapes/shardings preserved)."""
+    """Restore into the structure of `state` (shapes/shardings preserved —
+    sharded leaves come back with the same sharding, multi-host included)."""
     path = Path(path)
     ck = _ckptr()
     meta = json.loads((path / "meta.json").read_text())
-    trainable = ck.restore(path / "trainable", item=jax.device_get(state.trainable))
+
+    def restore(sub, tree):
+        return ck.restore(path / sub, item=tree,
+                          restore_args=_restore_args(tree))
+
+    trainable = restore("trainable", state.trainable)
     frozen = state.frozen
     if (path / "frozen").exists():
-        frozen = ck.restore(path / "frozen", item=jax.device_get(state.frozen))
-    opt_state = ck.restore(path / "opt_state", item=jax.device_get(state.opt_state))
+        frozen = restore("frozen", state.frozen)
+    opt_state = restore("opt_state", state.opt_state)
     import jax.numpy as jnp
 
     return TrainState(
@@ -85,9 +126,11 @@ def load_checkpoint(path, state: TrainState) -> TrainState:
 def save_params(path, params: Dict[str, Any]) -> Path:
     """Deployment export: a single merged param tree (post LoRA-merge)."""
     path = Path(path)
-    if path.exists():
+    if jax.process_index() == 0 and path.exists():
         shutil.rmtree(path)
-    _ckptr().save(path, jax.device_get(params))
+    _sync("params_dir_ready")
+    _ckptr().save(path, params)
+    _sync("params_written")
     return path
 
 

@@ -28,6 +28,31 @@ def lr_schedule(cfg: OptimizerConfig, warmup_steps: int):
     return schedule
 
 
+def mask_updates(tx: optax.GradientTransformation, mask_tree):
+    """Wrap tx so masked-out slices receive exactly zero updates.
+
+    mask_tree matches the param tree with per-leaf multiplicative masks
+    (broadcastable — e.g. (L, 1, ..., 1) over a scanned layer stack; see
+    train/stages.stage_update_mask). Grads are masked BEFORE tx (clean Adam
+    moments) and updates AFTER tx (kills weight decay on frozen slices)."""
+    if mask_tree is None:
+        return tx
+
+    import jax
+
+    def mul(tree):
+        return jax.tree.map(lambda g, m: g * m.astype(g.dtype), tree, mask_tree)
+
+    def init(params):
+        return tx.init(params)
+
+    def update(grads, state, params=None):
+        updates, state = tx.update(mul(grads), state, params)
+        return mul(updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: OptimizerConfig, warmup_steps: int | None = None):
     if warmup_steps is None:
         warmup_steps = int(cfg.warmup_fraction * cfg.max_steps)

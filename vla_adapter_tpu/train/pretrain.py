@@ -83,6 +83,10 @@ def pretrain(
         labels=batch["labels"],
     )["params"]
     trainable, frozen = split_by_stage(params, cfg.stage)
+    from vla_adapter_tpu.train.optim import mask_updates
+    from vla_adapter_tpu.train.stages import stage_update_mask
+
+    tx = mask_updates(tx, stage_update_mask(trainable, cfg.stage))
     log.info(
         "stage %s: %d trainable / %d frozen leaves", cfg.stage,
         len(jax.tree.leaves(trainable)), len(jax.tree.leaves(frozen)),
