@@ -63,3 +63,36 @@ def test_quantized_model_forward_close_to_fp():
     deq = dequantize_params(q_params)
     out_dq = np.asarray(model_fp.apply({"params": deq}, **kwargs)["actions"])
     np.testing.assert_allclose(out_dq, out_q, atol=1e-5)
+
+
+def test_quantization_report():
+    """The validate-before-deploying report: per-kernel round-trip error is
+    bounded by one quantization step, and the end-to-end action diff on a
+    fixed forward is small (VERDICT round-1 item 8)."""
+    from vla_adapter_tpu.models.quantize import (
+        forward_error_report,
+        quantization_report,
+    )
+
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model = VLAModel(TINY_CFG, rt)
+    batch = make_dummy_batch(TINY_CFG, 1, np.random.default_rng(0))
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = jax.device_get(model.init(
+        jax.random.key(0),
+        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
+        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
+        proprio=batch["proprio"],
+    )["params"])
+
+    rep = quantization_report(params)
+    assert rep["per_layer"] and rep["worst"]
+    # symmetric per-channel: round-trip error <= absmax/127 per channel,
+    # i.e. relative error <= ~1/127 per kernel (+fp slack)
+    assert rep["max_rel_err"] <= 1.0 / 127 + 1e-6, rep["worst"][:3]
+    for path, d in rep["per_layer"].items():
+        assert d["max_abs_err"] >= 0 and len(d["shape"]) in (2, 3), path
+
+    fwd = forward_error_report(TINY_CFG, params, rt=rt)
+    assert 0 <= fwd["max_abs_action_diff"] < 0.15
+    assert fwd["mean_abs_action_diff"] <= fwd["max_abs_action_diff"]

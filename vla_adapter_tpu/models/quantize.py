@@ -67,6 +67,89 @@ def quantize_params(
     return rec(params, ())
 
 
+def quantization_report(params: Dict[str, Any],
+                        top_k: int = 10) -> Dict[str, Any]:
+    """Quantization-error report: per-kernel max-abs and relative error of
+    the int8 round-trip, so the "validate before deploying" caveat has a
+    number attached. Returns
+      {"per_layer": {path: {"max_abs_err", "rel_err", "shape"}},
+       "worst": [(path, rel_err), ...top_k], "max_rel_err": float}
+    """
+    per_layer: Dict[str, Dict[str, Any]] = {}
+
+    def rec(node, path):
+        if not isinstance(node, dict):
+            return
+        if "kernel" in node and not isinstance(node["kernel"], dict):
+            k = np.asarray(node["kernel"], np.float32)
+            if k.ndim in (2, 3):
+                q, scale = quantize_kernel(k)
+                back = q.astype(np.float32) * scale[..., None, :]
+                err = np.abs(back - k)
+                denom = max(float(np.max(np.abs(k))), 1e-12)
+                per_layer["/".join(path)] = {
+                    "max_abs_err": float(err.max()),
+                    "rel_err": float(err.max() / denom),
+                    "shape": list(k.shape),
+                }
+                return
+        for kk, v in node.items():
+            rec(v, path + (kk,))
+
+    rec(params, ())
+    worst = sorted(per_layer.items(), key=lambda kv: -kv[1]["rel_err"])[:top_k]
+    return {
+        "per_layer": per_layer,
+        "worst": [(p, d["rel_err"]) for p, d in worst],
+        "max_rel_err": max((d["rel_err"] for d in per_layer.values()),
+                           default=0.0),
+    }
+
+
+def forward_error_report(cfg, params, rt=None, batch: int = 1,
+                         seed: int = 0) -> Dict[str, float]:
+    """End-to-end int8-vs-float action diff on a fixed random forward —
+    the number to check before serving int8 (README "validate before
+    deploying"). Returns max/mean abs diff over the (B, chunk, dim) chunk
+    in *normalized* action units (the [-1, 1] training space)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_adapter_tpu.models.layers import Runtime
+    from vla_adapter_tpu.models.vla import VLAModel
+
+    rt = rt or Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(seed)
+    v = cfg.vision
+    kwargs = dict(
+        input_ids=jnp.asarray(
+            rng.integers(3, min(cfg.llm.vocab_size, 10_000),
+                         size=(batch, cfg.max_text_tokens)), jnp.int32),
+        prompt_len=jnp.full((batch,), 8, jnp.int32),
+        text_valid=jnp.ones((batch, cfg.max_text_tokens), jnp.int32),
+        pixel_values=jnp.asarray(
+            rng.normal(size=(batch, v.num_images, v.primary.image_size,
+                             v.primary.image_size, v.channels_per_image)),
+            rt.dtype),
+        proprio=jnp.asarray(
+            rng.normal(size=(batch, cfg.constants.proprio_dim)), jnp.float32),
+    )
+    float_model = VLAModel(cfg, rt)
+    a_float = np.asarray(
+        float_model.apply({"params": params}, **kwargs)["actions"], np.float32)
+
+    q_model = VLAModel(cfg, _dc.replace(rt, weights_int8=True))
+    q_params = quantize_params(jax.device_get(params))
+    a_int8 = np.asarray(
+        q_model.apply({"params": q_params}, **kwargs)["actions"], np.float32)
+
+    diff = np.abs(a_float - a_int8)
+    return {"max_abs_action_diff": float(diff.max()),
+            "mean_abs_action_diff": float(diff.mean())}
+
+
 def dequantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Inverse (lossy) — reconstruct float kernels."""
 
