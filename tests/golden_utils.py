@@ -44,6 +44,9 @@ def make_timm_state_dict(cfg: ViTConfig, seed: int):
         if cfg.layer_scale_init is not None:
             sd[p + "ls1.gamma"] = torch.full((E,), cfg.layer_scale_init) + rand(E, scale=1e-6)
             sd[p + "ls2.gamma"] = torch.full((E,), cfg.layer_scale_init) + rand(E, scale=1e-6)
+    if cfg.pre_norm:
+        sd["norm_pre.weight"] = 1 + rand(E)
+        sd["norm_pre.bias"] = rand(E)
     sd["norm.weight"] = torch.ones(E)
     sd["norm.bias"] = torch.zeros(E)
     return sd
@@ -73,6 +76,10 @@ def timm_forward(sd, cfg: ViTConfig, images_nchw: torch.Tensor) -> torch.Tensor:
             x = torch.cat(prefix + [x], dim=1)
         x = x + sd["pos_embed"]
 
+    if cfg.pre_norm:
+        x = F.layer_norm(x, (E,), sd["norm_pre.weight"], sd["norm_pre.bias"],
+                         cfg.layernorm_eps)
+
     approx = "tanh" if cfg.mlp_activation == "gelu_tanh" else "none"
     for i in range(cfg.resolved_feature_layer + 1):
         p = f"blocks.{i}."
@@ -93,7 +100,10 @@ def timm_forward(sd, cfg: ViTConfig, images_nchw: torch.Tensor) -> torch.Tensor:
         x = x + h
         h = F.layer_norm(x, (E,), sd[p + "norm2.weight"], sd[p + "norm2.bias"], cfg.layernorm_eps)
         h = F.linear(h, sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"])
-        h = F.gelu(h, approximate=approx)
+        if cfg.mlp_activation == "quick_gelu":
+            h = h * torch.sigmoid(1.702 * h)  # timm QuickGELU (CLIP .openai)
+        else:
+            h = F.gelu(h, approximate=approx)
         h = F.linear(h, sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"])
         if cfg.layer_scale_init is not None:
             h = h * sd[p + "ls2.gamma"]

@@ -69,3 +69,15 @@ def test_load_vla_params_from_dir(tmp_path, torch_world):  # noqa: F811
     with pytest.raises(AssertionError):
         torch.save({}, tmp_path / "action_head--2000_checkpoint.pt")
         _find_one(tmp_path, "action_head--*checkpoint.pt")
+
+
+def test_resolve_checkpoint_offline_safe(tmp_path):
+    """Hub ids fail loudly offline; local dirs pass through; the download
+    path is opt-in (reference openvla_utils.py:272-368 equivalent)."""
+    import pytest
+
+    from vla_adapter_tpu.weights.load import resolve_checkpoint
+
+    assert resolve_checkpoint(str(tmp_path)) == tmp_path
+    with pytest.raises(FileNotFoundError, match="allow_download"):
+        resolve_checkpoint("VLA-Adapter/LIBERO-Object-Pro")

@@ -51,6 +51,9 @@ class ViTConfig:
     # timm `no_embed_class`: positional embeddings are added to patch tokens
     # only; cls/register tokens get none.
     pos_embed_patches_only: bool = False
+    # timm `pre_norm` (CLIP towers): a LayerNorm (`norm_pre`) applied to the
+    # full token sequence after the positional embedding, before block 0.
+    pre_norm: bool = False
     layer_scale_init: Optional[float] = None  # None -> no LayerScale
     # "gelu" (erf) or "gelu_tanh"
     mlp_activation: str = "gelu"

@@ -42,15 +42,54 @@ SIGLIP_SO400M_384 = ViTConfig(
 CLIP_VIT_L_224 = ViTConfig(
     name="clip-vit-l-14-224", image_size=224,
     hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
-    use_cls_token=True, pos_embed_patches_only=False,
+    use_cls_token=True, pos_embed_patches_only=False, pre_norm=True,
     mlp_activation="quick_gelu", layernorm_eps=1e-5,
 )
+CLIP_VIT_L_336 = ViTConfig(
+    name="clip-vit-l-14-336", image_size=336,
+    hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+    use_cls_token=True, pos_embed_patches_only=False, pre_norm=True,
+    mlp_activation="quick_gelu", layernorm_eps=1e-5,
+)
+CLIP_VIT_B_224 = ViTConfig(
+    name="clip-vit-b-16-224", image_size=224, patch_size=16,
+    hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
+    use_cls_token=True, pos_embed_patches_only=False, pre_norm=True,
+    mlp_activation="quick_gelu", layernorm_eps=1e-5,
+)
+DINOV2_VIT_L_336 = ViTConfig(
+    name="dinov2-vit-l-14-reg4-336", image_size=336,
+    hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+    use_cls_token=True, num_register_tokens=4, pos_embed_patches_only=True,
+    layer_scale_init=1e-5,
+)
+
+
+def _siglip_b16(px: int) -> ViTConfig:
+    return ViTConfig(
+        name=f"siglip-vit-b-16-{px}", image_size=px, patch_size=16,
+        hidden_size=768, num_layers=12, num_heads=12, mlp_dim=3072,
+        use_cls_token=False, pos_embed_patches_only=False,
+        mlp_activation="gelu_tanh",
+    )
+
+
 IN1K_VIT_L_224 = ViTConfig(
     name="in1k-vit-l-16-224", image_size=224, patch_size=16,
     hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
     use_cls_token=True, pos_embed_patches_only=False,
 )
 
+
+def _single(v: ViTConfig) -> FusedVisionConfig:
+    return FusedVisionConfig(primary=v, fused=None, num_images=1)
+
+
+# Full reference id set (prismatic/models/materialize.py:29-50) plus this
+# repo's -224px aliases kept from round 1. Multi-frame input (the
+# reference's `image_sequence_len` / `set_num_images_in_input`) is the
+# `num_images` field on any entry — images fold into the batch and their
+# patches concatenate on the sequence dim (models/vla.py FusedVisionBackbone).
 VISION_BACKBONES: Dict[str, FusedVisionConfig] = {
     # fused dual-tower (the VLA-Adapter default)
     "dinosiglip-vit-so-224px": FusedVisionConfig(
@@ -62,20 +101,34 @@ VISION_BACKBONES: Dict[str, FusedVisionConfig] = {
     "dinoclip-vit-l-224px": FusedVisionConfig(
         primary=DINOV2_VIT_L_224, fused=CLIP_VIT_L_224, num_images=2
     ),
-    # single towers
-    "dinov2-vit-l-224px": FusedVisionConfig(
-        primary=DINOV2_VIT_L_224, fused=None, num_images=1
+    "dinoclip-vit-l-336px": FusedVisionConfig(
+        primary=DINOV2_VIT_L_336, fused=CLIP_VIT_L_336, num_images=2
     ),
-    "siglip-vit-so400m-224px": FusedVisionConfig(
-        primary=SIGLIP_SO400M_224, fused=None, num_images=1
-    ),
-    "clip-vit-l-224px": FusedVisionConfig(
-        primary=CLIP_VIT_L_224, fused=None, num_images=1
-    ),
-    "in1k-vit-l-224px": FusedVisionConfig(
-        primary=IN1K_VIT_L_224, fused=None, num_images=1
-    ),
+    # single towers — reference names
+    "clip-vit-b": _single(CLIP_VIT_B_224),
+    "clip-vit-l": _single(CLIP_VIT_L_224),
+    "clip-vit-l-336px": _single(CLIP_VIT_L_336),
+    "siglip-vit-b16-224px": _single(_siglip_b16(224)),
+    "siglip-vit-b16-256px": _single(_siglip_b16(256)),
+    "siglip-vit-b16-384px": _single(_siglip_b16(384)),
+    "siglip-vit-so400m": _single(SIGLIP_SO400M_224),
+    "siglip-vit-so400m-384px": _single(SIGLIP_SO400M_384),
+    "dinov2-vit-l": _single(DINOV2_VIT_L_224),
+    "in1k-vit-l": _single(IN1K_VIT_L_224),
+    # round-1 aliases (kept for config compat)
+    "dinov2-vit-l-224px": _single(DINOV2_VIT_L_224),
+    "siglip-vit-so400m-224px": _single(SIGLIP_SO400M_224),
+    "clip-vit-l-224px": _single(CLIP_VIT_L_224),
+    "in1k-vit-l-224px": _single(IN1K_VIT_L_224),
 }
+
+
+def with_num_images(cfg: FusedVisionConfig, n: int) -> FusedVisionConfig:
+    """The reference's vision_backbone.set_num_images_in_input(n) /
+    image_sequence_len equivalent: same towers, n frames per sample."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, num_images=n)
 
 # --- LLM backbones ----------------------------------------------------------
 

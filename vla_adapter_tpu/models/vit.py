@@ -28,7 +28,6 @@ from __future__ import annotations
 from typing import Optional, Type
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from vla_adapter_tpu.core.config import ViTConfig
@@ -184,14 +183,17 @@ class VisionTransformer(nn.Module):
                 )
             x = x + pos_embed.astype(rt.dtype)
 
+        if cfg.pre_norm:
+            x = LayerNorm(cfg.layernorm_eps, rt=rt, name="norm_pre")(x)
+
         if cfg.film_llm_dim is not None and lang is not None:
             lang = lang.astype(rt.dtype)
 
         block_cls = ViTBlock
         if rt.remat:
-            block_cls = nn.remat(
-                ViTBlock, policy=jax.checkpoint_policies.nothing_saveable
-            )
+            from vla_adapter_tpu.models.layers import remat_policy
+
+            block_cls = nn.remat(ViTBlock, policy=remat_policy(rt))
 
         num_blocks = cfg.resolved_feature_layer + 1
         scanned = nn.scan(

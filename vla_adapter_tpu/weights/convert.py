@@ -157,6 +157,11 @@ def vit_params_from_timm(
         params["cls_token"] = sd[p + "cls_token"]
     if cfg.num_register_tokens:
         params["reg_token"] = sd[p + "reg_token"]
+    if cfg.pre_norm:
+        params["norm_pre"] = {
+            "scale": sd[p + "norm_pre.weight"],
+            "bias": sd[p + "norm_pre.bias"],
+        }
     return params
 
 

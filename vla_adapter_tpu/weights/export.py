@@ -67,6 +67,9 @@ def vit_params_to_timm(params: Dict[str, Any], cfg: ViTConfig,
         out[p + "cls_token"] = np.asarray(params["cls_token"])
     if cfg.num_register_tokens:
         out[p + "reg_token"] = np.asarray(params["reg_token"])
+    if cfg.pre_norm:
+        out[p + "norm_pre.weight"] = np.asarray(params["norm_pre"]["scale"])
+        out[p + "norm_pre.bias"] = np.asarray(params["norm_pre"]["bias"])
     block = params["blocks"]["block"]
     L = cfg.resolved_feature_layer + 1
     for i in range(L):

@@ -142,8 +142,34 @@ def load_norm_stats(ckpt_dir) -> Dict:
     return cfg["norm_stats"]
 
 
+def resolve_checkpoint(path_or_hub_id: str, allow_download: bool = False,
+                       cache_dir: Optional[str] = None) -> Path:
+    """Local dir passthrough, or an HF-hub snapshot fetch (the reference's
+    model_is_on_hf_hub + hf_hub_download path, openvla_utils.py:272-368 and
+    models/load.py:52,131), gated offline-safe.
+
+    Downloads only when `allow_download=True` or VLA_ALLOW_DOWNLOAD=1 — this
+    environment has no egress (see PARITY.md), and an accidental hub hit
+    should fail loudly with instructions rather than hang."""
+    import os
+
+    p = Path(path_or_hub_id)
+    if p.is_dir():
+        return p
+    allow = allow_download or os.environ.get("VLA_ALLOW_DOWNLOAD") == "1"
+    if not allow:
+        raise FileNotFoundError(
+            f"{path_or_hub_id!r} is not a local checkpoint dir. If it is an "
+            f"HF hub id, pass allow_download=True (or set "
+            f"VLA_ALLOW_DOWNLOAD=1) in an environment with network egress."
+        )
+    from huggingface_hub import snapshot_download
+
+    return Path(snapshot_download(repo_id=path_or_hub_id, cache_dir=cache_dir))
+
+
 def load_vla(ckpt_dir, cfg: Optional[VLAConfig] = None, rt=None,
-             center_crop: bool = True):
+             center_crop: bool = True, allow_download: bool = False):
     """Checkpoint dir -> infer.Predictor (the reference's get_vla +
     get_action_head + get_proprio_projector + norm-stats load in one)."""
     import jax.numpy as jnp
@@ -152,6 +178,7 @@ def load_vla(ckpt_dir, cfg: Optional[VLAConfig] = None, rt=None,
     from vla_adapter_tpu.infer.predict import Predictor
     from vla_adapter_tpu.models.layers import Runtime
 
+    ckpt_dir = resolve_checkpoint(str(ckpt_dir), allow_download=allow_download)
     cfg = cfg or vla_config_from_checkpoint(ckpt_dir)
     rt = rt or Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     params = load_vla_params(ckpt_dir, cfg)
