@@ -261,3 +261,36 @@ def test_greedy_generate_matches_hf():
         max_new_tokens=8,
     )
     np.testing.assert_array_equal(np.asarray(got_cached)[0], hf_out[0])
+
+
+def test_model_zoo_resolves_every_reference_model():
+    """All 51 reference MODEL_REGISTRY ids (prismatic/models/registry.py)
+    resolve to structural configs; supported ones build a VLAConfig; phi-2
+    raises the documented NotImplementedError."""
+    import pytest as _pytest
+
+    from vla_adapter_tpu.models.zoo import (
+        MODEL_ZOO,
+        available_models,
+        build_vlm_config,
+        get_zoo_entry,
+    )
+
+    # 51 MODEL_REGISTRY ids + dinosiglip-224px-resize-naive+7b, which
+    # exists only in the reference's conf/models.py registry
+    assert len(MODEL_ZOO) == 52
+    for mid in available_models():
+        entry = get_zoo_entry(mid)
+        assert entry.model_id == mid
+        if entry.llm_backbone_id == "phi-2-3b":
+            with _pytest.raises(NotImplementedError):
+                build_vlm_config(entry)
+            continue
+        cfg = build_vlm_config(entry)
+        assert cfg.llm.hidden_size > 0 and cfg.vision.primary.num_patches > 0
+
+    # name-alias lookup (reference GLOBAL_REGISTRY behavior)
+    assert get_zoo_entry("Prism DINOSigLIP 13B").model_id == "prism-dinosiglip+13b"
+    # the VLA-Adapter base VLM resolves to the flagship geometry
+    base = build_vlm_config(get_zoo_entry("prism-qwen25-extra-dinosiglip-224px+0_5b"))
+    assert base.llm.hidden_size == 896 and base.vision.embed_dim == 2176

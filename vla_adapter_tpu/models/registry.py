@@ -171,7 +171,25 @@ LLM_BACKBONES: Dict[str, Qwen2Config] = {
         rope_theta=1e4, attention_bias=False, tie_word_embeddings=False,
         rms_norm_eps=1e-5,
     ),
+    "mistral-v0.1-7b-instruct": Qwen2Config(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, intermediate_size=14336, head_dim=128,
+        rope_theta=1e4, attention_bias=False, tie_word_embeddings=False,
+        rms_norm_eps=1e-5,
+    ),
 }
+
+_LLAMA2_13B = Qwen2Config(
+    vocab_size=32000, hidden_size=5120, num_layers=40, num_heads=40,
+    num_kv_heads=40, intermediate_size=13824, head_dim=128,
+    rope_theta=1e4, attention_bias=False, tie_word_embeddings=False,
+    rms_norm_eps=1e-5,
+)
+LLM_BACKBONES.update({
+    "llama2-13b-pure": _LLAMA2_13B,
+    "llama2-13b-chat": _LLAMA2_13B,
+    "vicuna-v15-13b": _LLAMA2_13B,
+})
 
 _UNSUPPORTED_LLMS = {
     "phi-2-3b": "Phi-2 uses parallel attention+MLP blocks with partial "
@@ -187,9 +205,13 @@ LLM_PROMPT_FAMILY = {
     "qwen25-3b-pure": "qwen",
     "qwen25-7b-pure": "qwen",
     "llama2-7b-pure": "pure",
+    "llama2-13b-pure": "pure",
     "llama2-7b-chat": "llama2-chat",
+    "llama2-13b-chat": "llama2-chat",
     "vicuna-v15-7b": "vicuna",
+    "vicuna-v15-13b": "vicuna",
     "mistral-v0.1-7b-pure": "pure",
+    "mistral-v0.1-7b-instruct": "mistral-instruct",
 }
 
 
