@@ -26,6 +26,17 @@ modules. Architecture (reference lines cited per class):
     ffn. The reference's dead `film_gen` branch is dropped (checkpoint
     ingestion ignores those params).
 
+TPU-first layout (round-2 perf restructure, measured on v5e): the task- and
+adapter-stream K/V projections do not depend on the evolving chunk latents,
+so they are hoisted OUT of the sequential block scan and computed for all
+24 layers in single batched einsums (models/layers.BatchedDense) — the
+in-scan matmuls were far below MXU-efficient sizes (8-585 rows) and ran the
+head at 0.15 MFU. Param layout: the hoisted projections live at
+``action_head/{k_task,v_task,k_adapter,v_adapter}`` (Pro) or
+``action_head/{k_proj,v_proj}`` (original) with stacked (L, in, out)
+kernels; weight converters map the reference's per-block torch params to
+these stacks (weights/convert.py / weights/export.py round-trip).
+
 All three K/V streams are concatenated into a single attention so the MXU
 sees one (chunk x 577) score matrix per head per block.
 """
@@ -39,7 +50,12 @@ import jax
 import jax.numpy as jnp
 
 from vla_adapter_tpu.core.config import ActionHeadConfig
-from vla_adapter_tpu.models.layers import Dense, LayerNorm, Runtime
+from vla_adapter_tpu.models.layers import (
+    BatchedDense,
+    Dense,
+    LayerNorm,
+    Runtime,
+)
 from vla_adapter_tpu.ops.rope import apply_rope_interleaved, interleaved_cos_sin
 
 
@@ -49,10 +65,28 @@ def _heads(t: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return t.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
 
 
+def _heads_batched(t: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, L, S, D) -> (B, L, H, S, d)."""
+    b, l, s, _ = t.shape
+    return t.reshape(b, l, s, num_heads, -1).transpose(0, 1, 3, 2, 4)
+
+
 def _merge(t: jnp.ndarray) -> jnp.ndarray:
     """(B, H, S, d) -> (B, S, D)."""
     b, h, s, d = t.shape
     return t.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _rope_batched(t: jnp.ndarray, base: float) -> jnp.ndarray:
+    """Interleaved RoPE over the second-to-last (position) axis.
+
+    The rotation runs in t's dtype (tables computed in fp32, then cast):
+    upcasting the full 24-layer K streams to fp32 would move ~150 MB extra
+    through HBM per forward for rounding that bf16 activations cannot
+    retain anyway. fp32 runtimes (CPU parity tests) are unaffected."""
+    cos, sin = interleaved_cos_sin(t.shape[-2], t.shape[-1], base,
+                                   dtype=jnp.float32)
+    return apply_rope_interleaved(t, cos.astype(t.dtype), sin.astype(t.dtype))
 
 
 class _BridgeBlockBase(nn.Module):
@@ -85,60 +119,48 @@ class _BridgeBlockBase(nn.Module):
 
 
 class BridgeBlock(_BridgeBlockBase):
-    """Original block: shared q/k/v projections across streams."""
+    """Original block: shared q/k/v projections across streams. The shared
+    k/v kernels live at head level (stacked); this block receives its
+    layer's precomputed adapter/task k/v plus the raw kernel slices to
+    project the (evolving) self stream."""
 
     @nn.compact
-    def __call__(self, x, h_task, h_adapter):
+    def __call__(self, x, k_adapter, v_adapter, k_task, v_task,
+                 k_kernel, k_bias, v_kernel, v_bias):
         cfg, rt = self.cfg, self.rt
         H = cfg.num_attn_heads
         gate = self.param("gating_factor", nn.initializers.zeros, (1,), rt.param_dtype)
         ratio_g = jnp.tanh(gate.astype(rt.dtype))
 
-        q_proj = Dense(cfg.hidden_dim, rt=rt, name="q_proj")
-        k_proj = Dense(cfg.hidden_dim, rt=rt, name="k_proj")
-        v_proj = Dense(cfg.hidden_dim, rt=rt, name="v_proj")
-
-        q = _heads(q_proj(x), H)
-        streams = [
-            (_heads(k_proj(x), H), _heads(v_proj(x), H)),              # self
-            (_heads(k_proj(h_adapter), H), _heads(v_proj(h_adapter), H)),  # adapter
-            (_heads(k_proj(h_task), H), _heads(v_proj(h_task), H)),    # task (gated)
-        ]
+        q = _heads(Dense(cfg.hidden_dim, rt=rt, name="q_proj")(x), H)
+        xc = x.astype(rt.dtype)
+        k_self = _heads(xc @ k_kernel.astype(rt.dtype)
+                        + k_bias.astype(rt.dtype), H)
+        v_self = _heads(xc @ v_kernel.astype(rt.dtype)
+                        + v_bias.astype(rt.dtype), H)
+        streams = [(k_self, v_self), (k_adapter, v_adapter), (k_task, v_task)]
         out = self._attend(q, streams, ratio_g)
         out = Dense(cfg.hidden_dim, rt=rt, name="o_proj")(out)
         return self._ffn(out + x)
 
 
 class BridgeBlockPro(_BridgeBlockBase):
-    """Pro block: per-stream K/V projections + per-stream RoPE."""
+    """Pro block: per-stream K/V; adapter/task streams arrive precomputed
+    (+RoPE'd); the self stream projects + ropes the evolving latents here."""
 
     @nn.compact
-    def __call__(self, x, h_task, h_adapter):
+    def __call__(self, x, k_adapter, v_adapter, k_task, v_task):
         cfg, rt = self.cfg, self.rt
         H = cfg.num_attn_heads
-        head_dim = cfg.hidden_dim // H
+
         gate = self.param("gating_factor", nn.initializers.zeros, (1,), rt.param_dtype)
         ratio_g = jnp.tanh(gate.astype(rt.dtype))
 
         q = _heads(Dense(cfg.hidden_dim, rt=rt, name="q_proj")(x), H)
         k_self = _heads(Dense(cfg.hidden_dim, rt=rt, name="k_self")(x), H)
         v_self = _heads(Dense(cfg.hidden_dim, rt=rt, name="v_self")(x), H)
-        k_adapter = _heads(Dense(cfg.hidden_dim, rt=rt, name="k_adapter")(h_adapter), H)
-        v_adapter = _heads(Dense(cfg.hidden_dim, rt=rt, name="v_adapter")(h_adapter), H)
-        k_task = _heads(Dense(cfg.hidden_dim, rt=rt, name="k_task")(h_task), H)
-        v_task = _heads(Dense(cfg.hidden_dim, rt=rt, name="v_task")(h_task), H)
-
-        def rope(t):
-            cos, sin = interleaved_cos_sin(
-                t.shape[2], head_dim, cfg.rope_base, dtype=jnp.float32
-            )
-            return apply_rope_interleaved(
-                t.astype(jnp.float32), cos[None, None], sin[None, None]
-            ).astype(t.dtype)
-
-        q, k_self = rope(q), rope(k_self)
-        k_adapter = rope(k_adapter)
-        k_task = rope(k_task)
+        q = _rope_batched(q, cfg.rope_base)
+        k_self = _rope_batched(k_self, cfg.rope_base)
 
         streams = [(k_self, v_self), (k_adapter, v_adapter), (k_task, v_task)]
         out = self._attend(q, streams, ratio_g)
@@ -147,19 +169,20 @@ class BridgeBlockPro(_BridgeBlockBase):
 
 
 class _BlockScan(nn.Module):
-    """Scan body: carry = chunk latents, xs = per-layer (task, adapter)."""
+    """Scan body: carry = chunk latents, xs = per-layer precomputed streams
+    (+, original variant, the shared k/v kernel slices for the self stream)."""
 
     cfg: ActionHeadConfig
     rt: Runtime
 
     @nn.compact
-    def __call__(self, carry, h_task, h_adapter):
+    def __call__(self, carry, *xs):
         cls = BridgeBlockPro if self.cfg.use_pro_version else BridgeBlock
         if self.rt.remat:
             from vla_adapter_tpu.models.layers import remat_policy
 
             cls = nn.remat(cls, policy=remat_policy(self.rt))
-        out = cls(self.cfg, self.rt, name="block")(carry, h_task, h_adapter)
+        out = cls(self.cfg, self.rt, name="block")(carry, *xs)
         return out, None
 
 
@@ -191,6 +214,7 @@ class L1RegressionActionHead(nn.Module):
         b = hidden_states.shape[0]
         llm_dim = hidden_states.shape[-1]
         num_blocks = cfg.num_blocks
+        H = cfg.num_attn_heads
 
         h_task = hidden_states[:, 1 : num_blocks + 1, : self.num_task_tokens]
         h_action = hidden_states[:, 1 : num_blocks + 1, self.num_task_tokens :]
@@ -204,6 +228,33 @@ class L1RegressionActionHead(nn.Module):
             h_adapter = jnp.concatenate([h_action.astype(rt.dtype), p], axis=2)
         else:
             h_adapter = h_action.astype(rt.dtype)
+        h_task = h_task.astype(rt.dtype)
+
+        # hoisted stream projections: all layers in one einsum each
+        def batched(name, x):
+            return _heads_batched(
+                BatchedDense(cfg.hidden_dim, num_blocks, rt=rt, name=name)(x),
+                H,
+            )
+
+        if cfg.use_pro_version:
+            k_adapter = batched("k_adapter", h_adapter)
+            v_adapter = batched("v_adapter", h_adapter)
+            k_task = batched("k_task", h_task)
+            v_task = batched("v_task", h_task)
+            k_adapter = _rope_batched(k_adapter, cfg.rope_base)
+            k_task = _rope_batched(k_task, cfg.rope_base)
+            xs = (k_adapter, v_adapter, k_task, v_task)
+            scan_in_axes = (1, 1, 1, 1)
+        else:
+            k_bd = BatchedDense(cfg.hidden_dim, num_blocks, rt=rt, name="k_proj")
+            v_bd = BatchedDense(cfg.hidden_dim, num_blocks, rt=rt, name="v_proj")
+            k_adapter = _heads_batched(k_bd(h_adapter), H)
+            v_adapter = _heads_batched(v_bd(h_adapter), H)
+            k_task = _heads_batched(k_bd(h_task), H)
+            v_task = _heads_batched(v_bd(h_task), H)
+            xs = (k_adapter, v_adapter, k_task, v_task)
+            scan_in_axes = (1, 1, 1, 1)
 
         x = jnp.zeros(
             (b, self.num_actions_chunk, self.action_dim * llm_dim), rt.dtype
@@ -218,15 +269,30 @@ class L1RegressionActionHead(nn.Module):
         x = Dense(cfg.hidden_dim, rt=rt, name="fc_in")(x)
         x = nn.relu(x)
 
+        if not cfg.use_pro_version:
+            # pass kernel slices through the scan for the self stream
+            k_params = self.get_variable("params", "k_proj")
+            v_params = self.get_variable("params", "v_proj")
+            if self.rt.weights_int8:
+                k_kernels = (k_params["kernel_q"].astype(rt.dtype)
+                             * k_params["kernel_scale"].astype(rt.dtype)[:, None, :])
+                v_kernels = (v_params["kernel_q"].astype(rt.dtype)
+                             * v_params["kernel_scale"].astype(rt.dtype)[:, None, :])
+            else:
+                k_kernels = k_params["kernel"]
+                v_kernels = v_params["kernel"]
+            xs = xs + (k_kernels, k_params["bias"], v_kernels, v_params["bias"])
+            scan_in_axes = scan_in_axes + (0, 0, 0, 0)
+
         scanned = nn.scan(
             _BlockScan,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=num_blocks,
-            in_axes=(1, 1),  # scan over the layer axis of conditioning
+            in_axes=scan_in_axes,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(cfg=cfg, rt=rt, name="blocks")
-        x, _ = scanned(x, h_task.astype(rt.dtype), h_adapter)
+        x, _ = scanned(x, *xs)
 
         x = LayerNorm(rt=rt, eps=1e-5, name="out_norm")(x)
         return Dense(self.action_dim, rt=rt, name="fc_out")(x)

@@ -127,6 +127,56 @@ class Dense(nn.Module):
         return y
 
 
+class BatchedDense(nn.Module):
+    """A stack of per-layer Dense projections applied in ONE einsum.
+
+    kernel (L, in, out), bias (L, out); x (B, L, S, in) -> (B, L, S, out).
+    Exists for the bridge-attention head: projecting all 24 layers'
+    task/adapter streams as one big MXU matmul instead of 24 small ones
+    inside the block scan (measured ~3x head speedup on v5e — the scan's
+    per-iteration matmuls were far below MXU-efficient sizes). No LoRA path:
+    the head is always fully trainable (reference finetune recipe), so
+    low-rank adapters would be redundant parameters."""
+
+    features: int
+    num_layers: int
+    use_bias: bool = True
+    rt: Runtime = Runtime()
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        shape = (self.num_layers, in_features, self.features)
+        if self.rt.weights_int8:
+            kernel_q = self.param("kernel_q", nn.initializers.zeros, shape,
+                                  jnp.int8)
+            kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones,
+                (self.num_layers, self.features), jnp.float32,
+            )
+            y = jnp.einsum(
+                "blsi,lio->blso", x.astype(self.rt.dtype),
+                kernel_q.astype(self.rt.dtype),
+                preferred_element_type=self.rt.dtype,
+            ) * kernel_scale.astype(self.rt.dtype)[None, :, None, :]
+        else:
+            kernel = self.param("kernel", self.kernel_init, shape,
+                                self.rt.param_dtype)
+            y = jnp.einsum(
+                "blsi,lio->blso", x.astype(self.rt.dtype),
+                kernel.astype(self.rt.dtype),
+                preferred_element_type=self.rt.dtype,
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros,
+                (self.num_layers, self.features), self.rt.param_dtype,
+            )
+            y = y + bias.astype(self.rt.dtype)[None, :, None, :]
+        return y
+
+
 class RMSNorm(nn.Module):
     """Qwen2/LLaMA RMSNorm: y = w * x / sqrt(mean(x^2) + eps), fp32 math."""
 

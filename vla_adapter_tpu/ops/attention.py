@@ -51,11 +51,18 @@ def xla_attention(
     causal: bool,
     sm_scale: float,
 ) -> jnp.ndarray:
-    """Reference implementation; q (B,S,H,D), k/v (B,S,Hkv,D)."""
+    """Reference implementation; q (B,S,H,D), k/v (B,S,Hkv,D).
+
+    Matmuls run in the input dtype (bf16 on the MXU) with fp32
+    accumulation — upcasting q/k to fp32 first would force the MXU's
+    multi-pass fp32 path (~3x slower) for no accuracy gain over
+    fp32-accumulated bf16. Softmax stays fp32.
+    """
     groups = q.shape[2] // k.shape[2]
     k = _expand_kv(k, groups)
     v = _expand_kv(v, groups)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
     s = s * sm_scale
     seq = q.shape[1]
     mask = None
@@ -67,7 +74,8 @@ def xla_attention(
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -122,12 +130,14 @@ def dot_product_attention(
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        # Measured on v5e: below ~512 tokens XLA's fused attention wins
-        # (the standalone kernel pays launch + layout-transpose overhead
-        # that dominates tiny (S^2 * D) workloads — e.g. the 261-token ViT
-        # towers); at the ~640-token multimodal LLM length and beyond the
-        # Pallas kernel is faster and keeps scores out of HBM.
-        use_pallas = _supports_pallas() and q.shape[1] >= 512
+        # Measured on v5e (round 2, flagship full-forward): XLA's fused
+        # attention beats the standalone Pallas kernel everywhere in the VLA
+        # regime — 12.8 ms vs 14.2-14.8 ms end-to-end at the 640-token
+        # multimodal length (XLA fuses the softmax with surrounding ops and
+        # pays no kernel-boundary layout costs; scores fit VMEM at these
+        # shapes anyway). The Pallas kernel earns its keep only where the
+        # (S, S) score matrix stops fitting on-chip — long context.
+        use_pallas = _supports_pallas() and q.shape[1] > 1024
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         return _attention_pallas_trainable(q, k, v, valid, causal, sm_scale)

@@ -248,24 +248,32 @@ def action_head_params_from_torch(
     def blk_lin(name: str):
         return {"kernel": blk(name + ".weight"), "bias": blk(name + ".bias", False)}
 
+    # in-scan params (depend on the evolving chunk latents) stay under
+    # blocks/block; the hoisted task/adapter stream projections live at
+    # head level as stacked (L, in, out) kernels (see action_head.py
+    # "TPU-first layout")
     if use_pro_version:
-        names = ("q_proj", "k_self", "v_self", "k_adapter", "v_adapter",
-                 "k_task", "v_task", "o_proj")
+        scan_names = ("q_proj", "k_self", "v_self", "o_proj")
+        hoisted_names = ("k_adapter", "v_adapter", "k_task", "v_task")
     else:
-        names = ("q_proj", "k_proj", "v_proj", "o_proj")
-    block: Dict[str, Any] = {n: blk_lin(n) for n in names}
+        scan_names = ("q_proj", "o_proj")
+        hoisted_names = ("k_proj", "v_proj")
+    block: Dict[str, Any] = {n: blk_lin(n) for n in scan_names}
     block["gating_factor"] = blk("gating_factor", False)
     block["ffn_norm"] = {"scale": blk("ffn.0.weight", False),
                          "bias": blk("ffn.0.bias", False)}
     block["ffn_fc"] = {"kernel": blk("ffn.1.weight"), "bias": blk("ffn.1.bias", False)}
 
-    return {
+    out = {
         "input_norm": _ln(sd, p + "layer_norm1"),
         "fc_in": _lin(sd, p + "fc1"),
         "blocks": {"block": block},
         "out_norm": _ln(sd, p + "layer_norm2"),
         "fc_out": _lin(sd, p + "fc2"),
     }
+    for n in hoisted_names:
+        out[n] = blk_lin(n)
+    return out
 
 
 # The rename map applied by reference finetune.py:792-815 when loading the

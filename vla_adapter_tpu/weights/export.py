@@ -141,15 +141,19 @@ def head_params_to_torch(params: Dict[str, Any], use_pro_version: bool,
         p + "fc2.bias": np.asarray(params["fc_out"]["bias"]),
     }
     block = params["blocks"]["block"]
-    names = (("q_proj", "k_self", "v_self", "k_adapter", "v_adapter",
-              "k_task", "v_task", "o_proj") if use_pro_version
-             else ("q_proj", "k_proj", "v_proj", "o_proj"))
+    scan_names = (("q_proj", "k_self", "v_self", "o_proj") if use_pro_version
+                  else ("q_proj", "o_proj"))
+    hoisted_names = (("k_adapter", "v_adapter", "k_task", "v_task")
+                     if use_pro_version else ("k_proj", "v_proj"))
     L = len(np.asarray(block["gating_factor"]))
     for i in range(L):
         b = f"{p}mlp_resnet_blocks.{i}."
-        for n in names:
+        for n in scan_names:
             out[b + n + ".weight"] = np.asarray(block[n]["kernel"][i]).T
             out[b + n + ".bias"] = np.asarray(block[n]["bias"][i])
+        for n in hoisted_names:  # head-level stacks (action_head.py layout)
+            out[b + n + ".weight"] = np.asarray(params[n]["kernel"][i]).T
+            out[b + n + ".bias"] = np.asarray(params[n]["bias"][i])
         out[b + "gating_factor"] = np.asarray(block["gating_factor"][i])
         out[b + "ffn.0.weight"] = np.asarray(block["ffn_norm"]["scale"][i])
         out[b + "ffn.0.bias"] = np.asarray(block["ffn_norm"]["bias"][i])
