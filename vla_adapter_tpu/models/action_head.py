@@ -178,7 +178,7 @@ class _BlockScan(nn.Module):
     @nn.compact
     def __call__(self, carry, *xs):
         cls = BridgeBlockPro if self.cfg.use_pro_version else BridgeBlock
-        if self.rt.remat:
+        if self.rt.remat and "head" in self.rt.remat_components:
             from vla_adapter_tpu.models.layers import remat_policy
 
             cls = nn.remat(cls, policy=remat_policy(self.rt))

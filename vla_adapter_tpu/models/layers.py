@@ -44,6 +44,11 @@ class Runtime:
     # recompute at slightly more memory). Measured on the v5e chip in
     # bench.py; see BASELINE.md.
     remat_policy: str = "nothing"
+    # Which stacks rematerialize when remat=True. Measured on v5e @ bs8:
+    # full remat and ("llm","vit") time identically (0.445 s/step — the
+    # recompute is not the bottleneck at 0.5B) and ("llm",) alone fails to
+    # compile within HBM; keep full remat for the memory headroom.
+    remat_components: tuple = ("vit", "llm", "head")
     # Weight-only int8 serving: every Dense stores (kernel_q int8,
     # kernel_scale per-out-channel) instead of a float kernel. Batch-1
     # inference is HBM-bound — halving weight bytes cuts the latency floor.

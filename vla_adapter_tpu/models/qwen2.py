@@ -235,7 +235,7 @@ class Qwen2Model(nn.Module):
         )
 
         layer_cls: Type[nn.Module] = Qwen2DecoderLayer
-        if rt.remat:
+        if rt.remat and "llm" in rt.remat_components:
             from vla_adapter_tpu.models.layers import remat_policy
 
             layer_cls = nn.remat(

@@ -190,7 +190,7 @@ class VisionTransformer(nn.Module):
             lang = lang.astype(rt.dtype)
 
         block_cls = ViTBlock
-        if rt.remat:
+        if rt.remat and "vit" in rt.remat_components:
             from vla_adapter_tpu.models.layers import remat_policy
 
             block_cls = nn.remat(ViTBlock, policy=remat_policy(rt))
