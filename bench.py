@@ -255,12 +255,13 @@ def main():
 
     overhead = measure_dispatch_overhead()
 
-    def run(batch, k_chain, iters, int8=False):
+    def run(batch, k_chain, iters, int8=False, act_int8=False):
         rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                     attn_impl="auto", weights_int8=int8)
+                     attn_impl="auto", weights_int8=int8 or act_int8,
+                     act_int8=act_int8)
         model = VLAModel(cfg, rt)
         per_fwd = bench_forward(model, cfg, batch, k_chain, iters, overhead,
-                                int8=int8)
+                                int8=int8 or act_int8)
         # free this phase's params/compiled executables before the next one
         # (2.8 GB of bf16 weights per phase; v5e has 16 GB HBM)
         import gc
@@ -279,7 +280,11 @@ def main():
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "1,16").split(",")]
     sweep = [run(b, k_chain=12, iters=8) for b in batches]
     int8_row = run(max(batches), k_chain=12, iters=8, int8=True)
-    best = max(sweep + [int8_row], key=lambda r: r["chunks_per_s"])
+    # W8A8: dynamic per-token activation quant + int8 MXU matmuls (2x bf16
+    # peak). MFU is still reported against the bf16 peak for comparability.
+    w8a8_row = run(max(batches), k_chain=12, iters=8, act_int8=True)
+    w8a8_row["mode"] = "w8a8"
+    best = max(sweep + [int8_row, w8a8_row], key=lambda r: r["chunks_per_s"])
 
     train_step_s = None
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
@@ -291,7 +296,8 @@ def main():
         "value": best["chunks_per_s"],
         "unit": (
             f"8-action chunks/s on one v5e chip (batch {best['batch']}"
-            f"{', int8' if best is int8_row else ''}, mfu {best['mfu']:.2f}; "
+            f"{', int8' if best is int8_row else ''}"
+            f"{', w8a8' if best is w8a8_row else ''}, mfu {best['mfu']:.2f}; "
             f"batch-1 latency {latency_row['s_per_forward']*1e3:.1f} ms/chunk; "
             f"dispatch overhead {overhead*1e3:.1f} ms subtracted)"
         ),
@@ -300,6 +306,7 @@ def main():
             "flops_per_chunk_tf": round(fl / 1e12, 4),
             "bf16_sweep": sweep,
             "int8": int8_row,
+            "w8a8": w8a8_row,
             "latency_s_batch1": latency_row["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),

@@ -90,6 +90,18 @@ def test_int8_predictor_close_to_fp(predictor):
     assert np.isfinite(a_q).all()
     assert np.corrcoef(a_q.ravel(), a_fp.ravel())[0, 1] > 0.99
 
+    # w8a8 serving path (act_int8 forces the min-dim gate down so the int8
+    # MXU branch actually runs on the tiny test geometry)
+    pred_a8 = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
+        center_crop=False, act_int8=True,
+    )
+    a_a8 = pred_a8.predict_action(imgs, "fold the towel", proprio=p)
+    assert np.isfinite(a_a8).all()
+    assert np.corrcoef(a_a8.ravel(), a_fp.ravel())[0, 1] > 0.97
+
 
 def test_batch_matches_single(predictor):
     rng = np.random.default_rng(2)

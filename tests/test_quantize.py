@@ -65,6 +65,71 @@ def test_quantized_model_forward_close_to_fp():
     np.testing.assert_allclose(out_dq, out_q, atol=1e-5)
 
 
+def test_quantize_rows():
+    from vla_adapter_tpu.models.layers import quantize_rows
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 5, 64)), jnp.float32)
+    xq, scale = jax.jit(quantize_rows)(x)
+    assert xq.dtype == jnp.int8 and scale.shape == (3, 5, 1)
+    back = np.asarray(xq, np.float32) * np.asarray(scale)
+    err = np.abs(back - np.asarray(x))
+    # symmetric per-row absmax: error within half a quantization step
+    step = np.max(np.abs(np.asarray(x)), axis=-1, keepdims=True) / 127
+    assert (err <= step / 2 + 1e-6).all()
+    # zero rows don't produce NaNs
+    xq0, s0 = quantize_rows(jnp.zeros((2, 8)))
+    assert np.all(np.asarray(xq0) == 0) and np.isfinite(np.asarray(s0)).all()
+
+
+def test_w8a8_forward():
+    """The act-int8 (W8A8) serving path: close to float when enabled, and
+    bit-identical to weight-only when every matmul is below the min-dim
+    gate (the default 256 exceeds every TINY_CFG dimension)."""
+    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model_fp = VLAModel(TINY_CFG, rt_fp)
+    batch = make_dummy_batch(TINY_CFG, 2, np.random.default_rng(1))
+    batch = jax.tree.map(jnp.asarray, batch)
+    kwargs = dict(
+        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
+        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
+        proprio=batch["proprio"],
+    )
+    params = model_fp.init(jax.random.key(0), **kwargs)["params"]
+    out_fp = np.asarray(model_fp.apply({"params": params}, **kwargs)["actions"])
+    q_params = quantize_params(jax.device_get(params))
+
+    import dataclasses as _dc
+
+    rt_w8 = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                    attn_impl="xla", weights_int8=True)
+    out_w8 = np.asarray(
+        VLAModel(TINY_CFG, rt_w8).apply({"params": q_params}, **kwargs)["actions"])
+
+    # act_int8 with the quant path actually taken (min_dim below dims)
+    rt_a8 = _dc.replace(rt_w8, act_int8=True, act_int8_min_dim=1)
+    out_a8 = np.asarray(
+        VLAModel(TINY_CFG, rt_a8).apply({"params": q_params}, **kwargs)["actions"])
+    assert np.abs(out_a8 - out_fp).max() < 0.3, np.abs(out_a8 - out_fp).max()
+    assert np.corrcoef(out_a8.ravel(), out_fp.ravel())[0, 1] > 0.97
+    # activation quantization changed something vs weight-only
+    assert np.abs(out_a8 - out_w8).max() > 0
+
+    # gated off by min_dim: identical to weight-only
+    rt_gated = _dc.replace(rt_w8, act_int8=True)  # min_dim=256 > all dims
+    out_gated = np.asarray(
+        VLAModel(TINY_CFG, rt_gated).apply({"params": q_params}, **kwargs)["actions"])
+    np.testing.assert_array_equal(out_gated, out_w8)
+
+    # the error report covers the W8A8 mode
+    from vla_adapter_tpu.models.quantize import forward_error_report
+
+    fwd = forward_error_report(
+        TINY_CFG, jax.device_get(params), rt=rt_fp,
+        act_int8=True)
+    assert np.isfinite(fwd["max_abs_action_diff"])
+
+
 def test_quantization_report():
     """The validate-before-deploying report: per-kernel round-trip error is
     bounded by one quantization step, and the end-to-end action diff on a

@@ -44,15 +44,21 @@ class Predictor:
     # ~1.3x lower batch-1 latency on v5e; weight-only per-channel symmetric
     # quantization (validate task success rates before deploying).
     int8: bool = False
+    # W8A8 serving (implies int8 weights): activations also quantized
+    # per-token and matmuls run on the MXU's 2x-rate int8 path — the
+    # batched-throughput lever. Check models/quantize.forward_error_report
+    # (act_int8=True) and task success rates before deploying.
+    act_int8: bool = False
 
     def __post_init__(self):
-        if self.int8:
+        if self.int8 or self.act_int8:
             import dataclasses as _dc
 
             from vla_adapter_tpu.models.quantize import quantize_params
 
             self.params = quantize_params(jax.device_get(self.params))
-            self.rt = _dc.replace(self.rt, weights_int8=True)
+            self.rt = _dc.replace(self.rt, weights_int8=True,
+                                  act_int8=self.act_int8)
         self.model = VLAModel(self.cfg, self.rt)
         self.image_processor = image_processor_for(self.cfg.vision)
         self.transform = VLABatchTransform(

@@ -54,6 +54,17 @@ class Runtime:
     # inference is HBM-bound — halving weight bytes cuts the latency floor.
     # Build quantized trees with models/quantize.quantize_params.
     weights_int8: bool = False
+    # W8A8 serving (requires weights_int8 params): activations are
+    # dynamically quantized per token (symmetric absmax over the feature
+    # axis) and the matmul runs int8 x int8 -> int32 on the MXU, whose int8
+    # path is 2x bf16 peak on v5e (394 vs 197 TOPS; measured 1.75-1.9x at
+    # VLA batch-16 shapes including the quantization cost). Dequantization
+    # is the rank-1 outer product row_scale x kernel_scale, fused by XLA.
+    # Matmuls with min(in, out) < act_int8_min_dim stay in the bf16
+    # upcast path (tiny, quality-critical layers like the head's fc_out —
+    # no speed to gain, precision to lose).
+    act_int8: bool = False
+    act_int8_min_dim: int = 256
 
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
@@ -69,6 +80,20 @@ def remat_policy(rt: Runtime):
     if rt.remat_policy == "dots_no_batch":
         return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
     raise ValueError(f"unknown remat_policy {rt.remat_policy!r}")
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Symmetric per-row (per-token) int8 quantization over the last axis.
+
+    x float (..., K) -> (x_q int8, row_scale float32 (..., 1)) with
+    x ≈ x_q * row_scale. fp32 internals: the absmax/divide run on the VPU
+    and are a vanishing fraction of the adjacent matmul's work.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
 
 
 class Dense(nn.Module):
@@ -93,12 +118,29 @@ class Dense(nn.Module):
                 "kernel_scale", nn.initializers.ones, (self.features,),
                 jnp.float32,
             )
-            # int8 is upcast in-register; HBM only streams 1 byte/weight.
-            y = lax.dot_general(
-                x.astype(self.rt.dtype),
-                kernel_q.astype(self.rt.dtype),
-                (((x.ndim - 1,), (0,)), ((), ())),
-            ) * kernel_scale.astype(self.rt.dtype)
+            if self.rt.act_int8 and min(
+                in_features, self.features
+            ) >= self.rt.act_int8_min_dim:
+                # W8A8: dynamic per-token activation quant, int8 MXU matmul.
+                xq, row_scale = quantize_rows(x)
+                y = lax.dot_general(
+                    xq,
+                    kernel_q,
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (
+                    y.astype(jnp.float32)
+                    * row_scale
+                    * kernel_scale.astype(jnp.float32)
+                ).astype(self.rt.dtype)
+            else:
+                # int8 upcast in-register; HBM only streams 1 byte/weight.
+                y = lax.dot_general(
+                    x.astype(self.rt.dtype),
+                    kernel_q.astype(self.rt.dtype),
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                ) * kernel_scale.astype(self.rt.dtype)
         else:
             kernel = self.param(
                 "kernel", self.kernel_init, (in_features, self.features),
@@ -160,11 +202,25 @@ class BatchedDense(nn.Module):
                 "kernel_scale", nn.initializers.ones,
                 (self.num_layers, self.features), jnp.float32,
             )
-            y = jnp.einsum(
-                "blsi,lio->blso", x.astype(self.rt.dtype),
-                kernel_q.astype(self.rt.dtype),
-                preferred_element_type=self.rt.dtype,
-            ) * kernel_scale.astype(self.rt.dtype)[None, :, None, :]
+            if self.rt.act_int8 and min(
+                in_features, self.features
+            ) >= self.rt.act_int8_min_dim:
+                xq, row_scale = quantize_rows(x)
+                y = jnp.einsum(
+                    "blsi,lio->blso", xq, kernel_q,
+                    preferred_element_type=jnp.int32,
+                )
+                y = (
+                    y.astype(jnp.float32)
+                    * row_scale
+                    * kernel_scale.astype(jnp.float32)[None, :, None, :]
+                ).astype(self.rt.dtype)
+            else:
+                y = jnp.einsum(
+                    "blsi,lio->blso", x.astype(self.rt.dtype),
+                    kernel_q.astype(self.rt.dtype),
+                    preferred_element_type=self.rt.dtype,
+                ) * kernel_scale.astype(self.rt.dtype)[None, :, None, :]
         else:
             kernel = self.param("kernel", self.kernel_init, shape,
                                 self.rt.param_dtype)

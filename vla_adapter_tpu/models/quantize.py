@@ -107,11 +107,13 @@ def quantization_report(params: Dict[str, Any],
 
 
 def forward_error_report(cfg, params, rt=None, batch: int = 1,
-                         seed: int = 0) -> Dict[str, float]:
+                         seed: int = 0, act_int8: bool = False) -> Dict[str, float]:
     """End-to-end int8-vs-float action diff on a fixed random forward —
     the number to check before serving int8 (README "validate before
-    deploying"). Returns max/mean abs diff over the (B, chunk, dim) chunk
-    in *normalized* action units (the [-1, 1] training space)."""
+    deploying"). ``act_int8=True`` reports the W8A8 path (dynamic per-token
+    activation quantization) instead of weight-only. Returns max/mean abs
+    diff over the (B, chunk, dim) chunk in *normalized* action units (the
+    [-1, 1] training space)."""
     import jax
     import jax.numpy as jnp
 
@@ -140,7 +142,8 @@ def forward_error_report(cfg, params, rt=None, batch: int = 1,
     a_float = np.asarray(
         float_model.apply({"params": params}, **kwargs)["actions"], np.float32)
 
-    q_model = VLAModel(cfg, _dc.replace(rt, weights_int8=True))
+    q_model = VLAModel(cfg, _dc.replace(rt, weights_int8=True,
+                                        act_int8=act_int8))
     q_params = quantize_params(jax.device_get(params))
     a_int8 = np.asarray(
         q_model.apply({"params": q_params}, **kwargs)["actions"], np.float32)
