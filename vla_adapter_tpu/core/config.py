@@ -174,6 +174,35 @@ class Qwen2Config:
 QWEN25_0_5B = Qwen2Config()
 
 
+@dataclass(frozen=True)
+class PhiConfig:
+    """Phi-2 decoder config (reference: backbones/llm/phi.py `phi-2-3b` ->
+    microsoft/phi-2). Architecturally distinct from the Qwen2/LLaMA family:
+    LayerNorm (with bias) instead of RMSNorm, *parallel* attention+MLP
+    sharing one pre-LN, partial rotary embeddings (first
+    ``rotary_dim = head_dim * partial_rotary_factor`` dims only), MHA (no
+    GQA), untied lm_head with bias."""
+
+    vocab_size: int = 51200
+    hidden_size: int = 2560
+    num_layers: int = 32
+    num_heads: int = 32
+    intermediate_size: int = 10240
+    head_dim: int = 80
+    partial_rotary_factor: float = 0.4
+    rope_theta: float = 1e4
+    layer_norm_eps: float = 1e-5
+    max_position_embeddings: int = 2048
+
+    @property
+    def num_kv_heads(self) -> int:  # MHA — interface parity with Qwen2Config
+        return self.num_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+
 # ---------------------------------------------------------------------------
 # Adapter head
 # ---------------------------------------------------------------------------
@@ -259,7 +288,9 @@ def vla_config_from_dict(d: dict) -> VLAConfig:
     if v.get("fused"):
         v["fused"] = ViTConfig(**v["fused"])
     d["vision"] = FusedVisionConfig(**v)
-    d["llm"] = Qwen2Config(**{
+    # discriminate the LLM family by its signature field
+    llm_cls = PhiConfig if "partial_rotary_factor" in d["llm"] else Qwen2Config
+    d["llm"] = llm_cls(**{
         k: tuple(x) if isinstance(x, list) else x for k, x in d["llm"].items()
     })
     d["head"] = ActionHeadConfig(**d["head"])

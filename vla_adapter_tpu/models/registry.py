@@ -20,6 +20,7 @@ from typing import Dict
 from vla_adapter_tpu.core.config import (
     DINOV2_VIT_L_224,
     FusedVisionConfig,
+    PhiConfig,
     Qwen2Config,
     SIGLIP_SO400M_224,
     ViTConfig,
@@ -191,11 +192,9 @@ LLM_BACKBONES.update({
     "vicuna-v15-13b": _LLAMA2_13B,
 })
 
-_UNSUPPORTED_LLMS = {
-    "phi-2-3b": "Phi-2 uses parallel attention+MLP blocks with partial "
-                "rotary embeddings — a different architecture from the "
-                "RMSNorm/GQA decoder here; add a dedicated module to support it.",
-}
+LLM_BACKBONES["phi-2-3b"] = PhiConfig()  # models/phi.py (parallel blocks)
+
+_UNSUPPORTED_LLMS: Dict[str, str] = {}
 
 # prompt-builder family per LLM id (data/prompting.py)
 LLM_PROMPT_FAMILY = {
@@ -212,6 +211,7 @@ LLM_PROMPT_FAMILY = {
     "vicuna-v15-13b": "vicuna",
     "mistral-v0.1-7b-pure": "pure",
     "mistral-v0.1-7b-instruct": "mistral-instruct",
+    "phi-2-3b": "phi",
 }
 
 

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from vla_adapter_tpu.core.config import VLAConfig
 from vla_adapter_tpu.core.constants import IGNORE_INDEX
 from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.llm import llm_model_class
 from vla_adapter_tpu.models.projector import FusedProjector, Projector
-from vla_adapter_tpu.models.qwen2 import Qwen2Model
 from vla_adapter_tpu.models.vla import FusedVisionBackbone
 
 
@@ -46,7 +46,7 @@ class PrismaticVLM(nn.Module):
         given, the CE loss over non-IGNORE positions.
         """
         cfg, rt = self.cfg, self.rt
-        llm = Qwen2Model(cfg.llm, rt, name="language_model")
+        llm = llm_model_class(cfg.llm)(cfg.llm, rt, name="language_model")
         text_embeds = llm.embed_tokens(input_ids)
         text_valid = text_valid.astype(jnp.bool_)
 

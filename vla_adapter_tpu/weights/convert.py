@@ -87,6 +87,55 @@ def qwen2_params_from_hf(
     }
 
 
+def phi_params_from_hf(
+    sd: Dict[str, np.ndarray], cfg, prefix: str = "model."
+) -> Dict[str, Any]:
+    """HF PhiForCausalLM state dict -> models/phi.PhiModel params.
+
+    Reference backbone: prismatic/models/backbones/llm/phi.py (`phi-2-3b`).
+    Same stacking conventions as :func:`qwen2_params_from_hf`; Phi's
+    LayerNorms carry biases and lm_head is untied (with bias).
+    """
+    L = cfg.num_layers
+    p = prefix
+
+    def lin(name: str):
+        return {
+            "kernel": _stack(sd, p + "layers.{}." + name + ".weight", L, True),
+            "bias": _stack(sd, p + "layers.{}." + name + ".bias", L, False),
+        }
+
+    def ln(name: str):
+        return {
+            "scale": _stack(sd, p + "layers.{}." + name + ".weight", L, False),
+            "bias": _stack(sd, p + "layers.{}." + name + ".bias", L, False),
+        }
+
+    layer = {
+        "input_layernorm": ln("input_layernorm"),
+        "self_attn": {
+            "q_proj": lin("self_attn.q_proj"),
+            "k_proj": lin("self_attn.k_proj"),
+            "v_proj": lin("self_attn.v_proj"),
+            "dense": lin("self_attn.dense"),
+        },
+        "fc1": lin("mlp.fc1"),
+        "fc2": lin("mlp.fc2"),
+    }
+    return {
+        "embed": {"embedding": sd[p + "embed_tokens.weight"]},
+        "layers": {"layer": layer},
+        "final_layernorm": {
+            "scale": sd[p + "final_layernorm.weight"],
+            "bias": sd[p + "final_layernorm.bias"],
+        },
+        "lm_head": {
+            "kernel": sd["lm_head.weight"].T,
+            "bias": sd["lm_head.bias"],
+        },
+    }
+
+
 def vit_params_from_timm(
     sd: Dict[str, np.ndarray], cfg: ViTConfig, prefix: str = ""
 ) -> Dict[str, Any]:
