@@ -210,6 +210,42 @@ def test_multidevice_fsdp_train_step():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_multidevice_tp_train_step():
+    """dp=2 x fsdp=2 x tensor=2: Megatron-style column/row kernel splits
+    expressed as GSPMD shardings compile, run, and match single-device
+    execution bit-for-bit (the collectives XLA derives are exact)."""
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    model, state, step, batch = _setup(lora_rank=4, batch_size=8)
+
+    sharded = TrainState(
+        step=state.step,
+        trainable=shard_params(state.trainable, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        opt_state=jax.tree.map(
+            lambda x: shard_params(x, mesh) if isinstance(x, dict) else x,
+            state.opt_state,
+            is_leaf=lambda x: isinstance(x, dict),
+        ),
+    )
+    # at least one kernel must actually carry the tensor axis
+    shardings = params_shardings(state.frozen, mesh)
+    assert any(
+        "tensor" in str(s.spec) for s in jax.tree.leaves(shardings)
+    ), "no parameter picked up the tensor axis"
+    sbatch = shard_batch(batch, mesh)
+
+    s1, m1 = step(state, batch, jax.random.key(0))
+    s2, m2 = step(sharded, sbatch, jax.random.key(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    a = jax.tree.leaves(s1.trainable)[0]
+    b = jax.tree.leaves(s2.trainable)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_param_shardings_fsdp_rules():
     mesh = create_mesh(data=4, fsdp=2)
     model, state, _, _ = _setup(lora_rank=0)

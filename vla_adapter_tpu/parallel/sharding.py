@@ -14,8 +14,13 @@ GSPMD sharding annotations; XLA inserts the collectives over ICI/DCN:
   * HYBRID_SHARD   == mesh (R, S, 1); shard within "fsdp" groups,
                       replicate across "data" (the reference's
                       shard-within-node/replicate-across-nodes)
-  * TP             == "tensor" axis, reserved (not needed at 0.5B —
-                      SURVEY.md section 2.7 — but the axis is plumbed).
+  * TP             == "tensor" axis: column-parallel q/k/v + MLP-up
+                      kernels, row-parallel o/down kernels (Megatron-style
+                      splits expressed purely as GSPMD shardings — XLA
+                      derives the all-reduces). Not *needed* at 0.5B
+                      (SURVEY.md section 2.7) but fully functional; the
+                      multichip dryrun and tests/test_train_step.py run
+                      data x fsdp x tensor meshes.
 
 Multi-host: call :func:`initialize_distributed` first (jax.distributed),
 then the same code runs unmodified — device order in the mesh keeps ICI
@@ -97,9 +102,9 @@ def param_pspec(
     ndim = len(shape)
     spec = [None] * ndim
     if tensor_size > 1 and ndim >= 2:
-        if _TP_COL.search(path):
+        if _TP_COL.search(path) and shape[-1] % tensor_size == 0:
             spec[-1] = TENSOR_AXIS
-        elif _TP_ROW.search(path):
+        elif _TP_ROW.search(path) and shape[-2] % tensor_size == 0:
             spec[-2] = TENSOR_AXIS
     if fsdp_size > 1 and int(np.prod(shape)) >= min_fsdp_size:
         # candidate dims: all but a scanned leading layer axis; prefer last.
