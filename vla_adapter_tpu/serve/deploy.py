@@ -19,6 +19,11 @@ class DeployConfig:
     host: str = "0.0.0.0"
     port: int = 8777
     center_crop: bool = True
+    # Coalesce concurrent /act requests into batched TPU forwards
+    # (serve/batching.py); max_wait_ms bounds the added latency.
+    dynamic_batch: bool = True
+    max_batch: int = 16
+    max_wait_ms: float = 4.0
 
 
 def main(argv=None) -> None:
@@ -30,7 +35,11 @@ def main(argv=None) -> None:
     predictor = load_vla(cfg.ckpt_dir, center_crop=cfg.center_crop)
     log.info("model loaded from %s; serving /act on %s:%d",
              cfg.ckpt_dir, cfg.host, cfg.port)
-    ActionServer(predictor, host=cfg.host, port=cfg.port).serve_forever()
+    ActionServer(
+        predictor, host=cfg.host, port=cfg.port,
+        dynamic_batch=cfg.dynamic_batch, max_batch=cfg.max_batch,
+        max_wait_ms=cfg.max_wait_ms,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

@@ -46,19 +46,36 @@ def decode_payload(obj):
 
 
 class ActionServer:
-    """Wraps an infer.Predictor behind POST /act."""
+    """Wraps an infer.Predictor behind POST /act.
 
-    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8777):
+    ``dynamic_batch=True`` coalesces concurrent requests into batched
+    forwards (serve/batching.py) — ThreadingHTTPServer handles each request
+    on its own thread, so simultaneous clients land in one TPU forward
+    instead of serializing batch-1 calls (the reference server's behavior).
+    """
+
+    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8777,
+                 dynamic_batch: bool = False, max_batch: int = 16,
+                 max_wait_ms: float = 4.0):
         self.predictor = predictor
         self.host, self.port = host, port
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self.batcher = None
+        if dynamic_batch:
+            from vla_adapter_tpu.serve.batching import DynamicBatcher
+
+            self.batcher = DynamicBatcher(
+                predictor, max_batch=max_batch, max_wait_ms=max_wait_ms
+            )
 
     def handle_act(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         payload = decode_payload(payload)
         images = [np.asarray(payload["full_image"], np.uint8)]
         if payload.get("wrist_image") is not None:
             images.append(np.asarray(payload["wrist_image"], np.uint8))
-        action = self.predictor.predict_action(
+        predict = (self.batcher.predict if self.batcher is not None
+                   else self.predictor.predict_action)
+        action = predict(
             images,
             payload["instruction"],
             proprio=payload.get("proprio"),
@@ -114,6 +131,8 @@ class ActionServer:
     def shutdown(self) -> None:
         if self._httpd is not None:
             self._httpd.shutdown()
+        if self.batcher is not None:
+            self.batcher.close()
 
 
 def make_fastapi_app(predictor):
