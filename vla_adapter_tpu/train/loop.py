@@ -168,6 +168,20 @@ def finetune(
 
 def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
            max_steps, mesh, run_dir, dataset_statistics, run_validation):
+    # Metrics are materialized one step LATE: float()-ing the current step's
+    # metrics would block the host on the device and serialize tf.data prep
+    # with TPU compute. Deferring the fetch until after the *next* step is
+    # dispatched keeps the device queue full — the previous step has always
+    # finished by then, so the commit costs ~nothing.
+    pending = None  # (step_idx, device metrics of the step before)
+
+    def commit(idx, m):
+        metrics.commit(**{k: float(v) for k, v in jax.device_get(m).items()})
+        if idx % cfg.log_freq == 0:
+            sm = metrics.push(idx)
+            print(f"step {idx}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sm.items()), flush=True)
+
     for step_idx in range(start_step, max_steps):
         device_batch = {k: v for k, v in batch.items() if k != "dataset_name"}
         device_batch = shard_batch(
@@ -175,11 +189,9 @@ def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
         )
         state, m = step_fn(state, device_batch,
                            jax.random.fold_in(rng, step_idx))
-        metrics.commit(**{k: float(v) for k, v in jax.device_get(m).items()})
-        if step_idx % cfg.log_freq == 0:
-            sm = metrics.push(step_idx)
-            print(f"step {step_idx}: " +
-                  " ".join(f"{k}={v:.4f}" for k, v in sm.items()), flush=True)
+        if pending is not None:
+            commit(*pending)
+        pending = (step_idx, m)
         if step_idx > 0 and step_idx % cfg.save_freq == 0:
             save_checkpoint(run_dir, state, dataset_statistics,
                             latest_only=cfg.save_latest_checkpoint_only)
@@ -187,5 +199,7 @@ def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
                 step_idx % cfg.val_freq == 0):
             run_validation(step_idx, state)
         if step_idx + 1 < max_steps:
-            batch = next(data_iter)
+            batch = next(data_iter)  # host work overlaps the device step
+    if pending is not None:
+        commit(*pending)
     return state
