@@ -175,13 +175,14 @@ def test_registry_lookup():
     assert q.hidden_size == 896 and q.num_kv_heads == 2
     with pytest.raises(KeyError):
         get_vision_backbone("nope")
-    with pytest.raises(NotImplementedError):
-        get_llm_backbone("phi-2-3b")
+    p = get_llm_backbone("phi-2-3b")  # round 2: phi is a real backbone now
+    assert p.hidden_size == 2560 and p.partial_rotary_factor == 0.4
     # all registered vision configs are internally consistent
     for name, cfg in VISION_BACKBONES.items():
         assert cfg.primary.hidden_size % cfg.primary.num_heads == 0, name
     for name, cfg in LLM_BACKBONES.items():
-        assert cfg.num_heads % cfg.num_kv_heads == 0, name
+        kv = getattr(cfg, "num_kv_heads", cfg.num_heads)  # phi is MHA
+        assert cfg.num_heads % kv == 0, name
 
 
 # ---------------------------------------------------------------------------
