@@ -266,8 +266,8 @@ def test_greedy_generate_matches_hf():
 
 def test_model_zoo_resolves_every_reference_model():
     """All 51 reference MODEL_REGISTRY ids (prismatic/models/registry.py)
-    resolve to structural configs; supported ones build a VLAConfig; phi-2
-    raises the documented NotImplementedError."""
+    resolve to structural configs and build a VLAConfig (round 2: that
+    includes phi-2, which has a real decoder in models/phi.py)."""
     import pytest as _pytest
 
     from vla_adapter_tpu.models.zoo import (
@@ -283,10 +283,6 @@ def test_model_zoo_resolves_every_reference_model():
     for mid in available_models():
         entry = get_zoo_entry(mid)
         assert entry.model_id == mid
-        if entry.llm_backbone_id == "phi-2-3b":
-            with _pytest.raises(NotImplementedError):
-                build_vlm_config(entry)
-            continue
         cfg = build_vlm_config(entry)
         assert cfg.llm.hidden_size > 0 and cfg.vision.primary.num_patches > 0
 

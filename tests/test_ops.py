@@ -74,3 +74,26 @@ def test_pallas_kernel_interpret_matches_xla(causal):
         np.asarray(want).transpose(0, 2, 1, 3)[m],
         atol=1e-5, rtol=1e-5,
     )
+    # fully-masked (padded) query rows must still be finite: the deferred
+    # 1/l normalization divides by l = sum(exp(NEG_INF - NEG_INF)) = S > 0
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_pallas_kernel_gqa_multiblock():
+    """GQA folding across multiple q-blocks (the flagship 7-group shape,
+    scaled down) — exercises the block policy and the folded causal rows."""
+    rng = np.random.default_rng(1)
+    B, S, H, Hkv, D = 2, 96, 14, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    for causal in (False, True):
+        got = fused_attention(q, k, v, None, causal=causal, block_q=16,
+                              interpret=True)
+        want = xla_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), None, causal=causal,
+            sm_scale=D ** -0.5,
+        ).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)

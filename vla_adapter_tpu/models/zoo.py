@@ -178,8 +178,7 @@ def get_zoo_entry(model_id_or_name: str) -> ZooEntry:
 
 def build_vlm_config(entry: ZooEntry,
                      max_text_tokens: Optional[int] = None) -> VLAConfig:
-    """ZooEntry -> VLAConfig for PrismaticVLM (models/vlm.py). Raises
-    NotImplementedError for architecturally unsupported LLMs (phi-2)."""
+    """ZooEntry -> VLAConfig for PrismaticVLM (models/vlm.py)."""
     from vla_adapter_tpu.models.registry import (
         get_llm_backbone,
         get_vision_backbone,

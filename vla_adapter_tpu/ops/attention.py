@@ -130,16 +130,21 @@ def dot_product_attention(
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        # Measured on v5e (round 2, flagship full-forward): XLA's fused
-        # attention beats the standalone Pallas kernel everywhere in the VLA
-        # regime — 12.8 ms vs 14.2-14.8 ms end-to-end at the 640-token
-        # multimodal length (XLA fuses the softmax with surrounding ops and
-        # pays no kernel-boundary layout costs; scores fit VMEM at these
-        # shapes anyway). Re-verified at batch 16: XLA 200 ms vs Pallas
-        # 267 ms per forward (and 158 vs 228 under w8a8). The Pallas kernel
-        # earns its keep only where the (S, S) score matrix stops fitting
-        # on-chip — long context.
-        use_pallas = _supports_pallas() and q.shape[1] > 1024
+        # Measured on v5e (round 2, per-layer microbench at batch 16): the
+        # VPU-lean kernel (additive mask bias, unnormalized bf16 probs,
+        # deferred 1/l, ~1.3 MB score blocks) beats XLA's fused attention
+        # ~2x in the VLA regime — 0.54 vs 1.06 ms at the 640-token LLM
+        # shape, 0.49 vs 0.91 ms at the ViT shape (layout transposes
+        # included; batch-1 is below tunnel measurement noise for both).
+        # This regime is VPU/HBM-bound: XLA materializes the score matrix
+        # in HBM, the kernel keeps it in VMEM. Tiny sequences stay on XLA
+        # (padding overhead; nothing to win), and so do tiny batches: at
+        # batch 1 the grid has ~20 cells, the pipeline never fills, and the
+        # measured flagship batch-1 latency regressed 12.3 -> 13.8 ms under
+        # the kernel while batch 16 improved 158 -> 151 ms (w8a8).
+        use_pallas = (
+            _supports_pallas() and q.shape[1] >= 128 and q.shape[0] >= 4
+        )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         return _attention_pallas_trainable(q, k, v, valid, causal, sm_scale)

@@ -41,6 +41,15 @@ def _attn_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     q_ref:     (1, 1, G, block_q, D) — every q head of this kv group
     k_ref/v_ref: (1, 1, S, D)
     o_ref:     (1, 1, G, block_q, D)
+
+    VPU-lean softmax (this regime is VPU-bound, not HBM-bound: the score
+    matrix never leaves VMEM, so the elementwise passes over it ARE the
+    cost): the padding mask is one additive fp32 bias row (0 / NEG_INF)
+    broadcast into the scale multiply, probabilities go to the MXU in bf16
+    *unnormalized*, and the 1/l normalization is applied to the small
+    (rows, D) output instead of the big (rows, S) probability matrix —
+    together ~3 fewer full passes over the scores than the naive
+    where/max/exp/div chain (measured 1.6x on v5e at the 0.5B shapes).
     """
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -53,23 +62,23 @@ def _attn_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     v = v_ref[0, 0]                               # (S, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale                                  # (G*Bq, S) fp32
+    )                                             # (G*Bq, S) fp32
 
-    kv_valid = valid_ref[b, :] > 0                # (S,)
-    mask = jnp.broadcast_to(kv_valid[None, :], s.shape)
+    # additive key-side mask: one (S,) bias row, fused into the scale pass
+    bias = jnp.where(valid_ref[b, :] > 0, 0.0, NEG_INF)   # (S,) fp32
+    s = s * sm_scale + bias[None, :]
     if causal:
         # row r of the folded block is query position qi*block_q + r % block_q
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         q_pos = qi * block_q + jax.lax.rem(row, block_q)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = mask & (k_pos <= q_pos)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
 
-    s = jnp.where(mask, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)  # bf16 probs into the MXU, fp32 accum
+    p = jnp.exp(s - m).astype(v.dtype)            # bf16, unnormalized
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)  # (rows, 1)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (G*Bq, D)
+    o = o / l                                     # deferred normalization
     o_ref[0, 0] = o.reshape(groups, block_q, d).astype(o_ref.dtype)
 
 
@@ -78,13 +87,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block_q(padded: int, groups: int) -> int:
-    """Block policy (measured on v5e): as few grid cells as the fp32 score
-    buffer allows — (G*block_q, S) fp32 capped at ~6 MB of the 16 MB VMEM
-    (leaving room for q/k/v/o and double buffering). Sublane alignment
-    requires a multiple of 16 (bf16 q block)."""
-    # fp32 score rows within ~2.5 MB: the cell also holds fp32 exp temps of
-    # the same size plus double-buffered q/o blocks, all inside 16 MB VMEM
-    budget_rows = (5 * 2**19) // (4 * padded)
+    """Block policy (measured on v5e): cap the fp32 score buffer
+    (G*block_q, S) at ~1.3 MB. Bigger blocks (e.g. G*block_q=896 at S=640)
+    measured 2.3x SLOWER than 448-row blocks — the score buffer plus its
+    elementwise temps crowd VMEM and stall the q/o double-buffering — while
+    much smaller blocks pay per-cell overheads. Sublane alignment requires
+    a multiple of 16 (bf16 q block)."""
+    budget_rows = (5 * 2**18) // (4 * padded)
     block = min(padded, max(16, budget_rows // groups))
     # largest multiple of 16 that divides padded (padded is 16-aligned)
     block = max(16, block // 16 * 16)
