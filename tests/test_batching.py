@@ -161,3 +161,25 @@ def test_server_dynamic_batch_roundtrip():
         np.testing.assert_allclose(results[i], np.full((8, 7), expect))
     assert sum(n for n, _, _ in fake.calls) >= 6
     assert len(fake.calls) < 6  # coalesced
+
+
+def test_loadtest_run_load_against_fake_server():
+    """serve/loadtest.run_load drives a live server and reports stats."""
+    from vla_adapter_tpu.serve.loadtest import run_load
+    from vla_adapter_tpu.serve.server import ActionServer
+
+    fake = FakeBatchPredictor(delay_s=0.005)
+    server = ActionServer(fake, host="127.0.0.1", port=0,
+                          dynamic_batch=True, max_batch=8, max_wait_ms=5.0)
+    port = server.serve_background()
+    try:
+        stats = run_load(f"http://127.0.0.1:{port}/act", num_clients=4,
+                         duration_s=1.5, image_hw=8, proprio_dim=2,
+                         warmup_s=0.3)
+    finally:
+        server.shutdown()
+        server.batcher.close()
+    assert stats["errors"] == 0, stats
+    assert stats["completed"] > 10
+    assert stats["latency_ms"]["p50"] > 0
+    assert stats["latency_ms"]["p99"] >= stats["latency_ms"]["p50"]
