@@ -117,3 +117,30 @@ def test_batch_matches_single(predictor):
     )
     np.testing.assert_allclose(batched[0], single1, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(batched[1], single2, atol=2e-4, rtol=1e-3)
+
+
+def test_device_normalize_matches_host_path(predictor):
+    """uint8-to-device + on-device normalization == host fp32 pipeline.
+
+    The serving default ships uint8 pixels (half the H2D bytes) and runs
+    (x/255 - mean)/std on device. The raw pixel values agree bit-for-bit
+    pre-jit; under jit XLA refactors the affine chain (x*(1/(255*std)) -
+    mean/std), so actions agree to float rounding (~5e-6), far below the
+    bf16 serving noise floor."""
+    import dataclasses
+
+    from vla_adapter_tpu.infer.predict import Predictor
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+            for _ in range(2)]
+    p = rng.normal(size=8)
+    assert predictor.device_normalize  # the default
+    host = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=predictor.rt, center_crop=False, device_normalize=False,
+    )
+    a_dev = predictor.predict_action(imgs, "wipe the table", proprio=p)
+    a_host = host.predict_action(imgs, "wipe the table", proprio=p)
+    np.testing.assert_allclose(a_dev, a_host, atol=1e-4, rtol=1e-4)

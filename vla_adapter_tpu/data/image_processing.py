@@ -158,6 +158,26 @@ class ImageProcessor:
             chans.append(arr)
         return np.concatenate(chans, axis=-1)  # (H, W, 3*T)
 
+    def geom_only(self, image) -> np.ndarray:
+        """Geometric transform only: uint8 (H, W, 3*T) with normalization
+        deferred (see :meth:`norm_constants`). Serving path: shipping uint8
+        to the device and normalizing there halves host->device bytes; the
+        math ((x/255 - mean)/std in fp32) is identical either side."""
+        if isinstance(image, np.ndarray):
+            image = Image.fromarray(image)
+        image = image.convert("RGB")
+        return np.concatenate(
+            [np.asarray(self._geom(image, spec), np.uint8)
+             for spec in self.towers], axis=-1)
+
+    def norm_constants(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Channel-stacked (3*T,) fp32 mean/std matching geom_only output."""
+        mean = np.concatenate(
+            [np.asarray(s.mean, np.float32) for s in self.towers])
+        std = np.concatenate(
+            [np.asarray(s.std, np.float32) for s in self.towers])
+        return mean, std
+
 
 def default_image_processor() -> ImageProcessor:
     return ImageProcessor()

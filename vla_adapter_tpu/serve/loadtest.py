@@ -172,8 +172,13 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool):
                      attn_impl="xla")
     else:
         cfg = VLAConfig()
+        # Build params directly in the (possibly quantized) runtime layout:
+        # letting Predictor quantize would device_get + re-put ~2 GB of
+        # zeros, which through the local TPU tunnel costs tens of minutes.
         rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                     attn_impl="auto")
+                     attn_impl="auto", weights_int8=int8 or act_int8,
+                     act_int8=act_int8)
+        int8 = act_int8 = False
 
     model = VLAModel(cfg, rt)
     v = cfg.vision
