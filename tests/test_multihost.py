@@ -47,7 +47,10 @@ def test_two_process_train_and_checkpoint(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: worker startup (TF import + gloo rendezvous) plus the
+        # train-step compile can stack with an oversubscribed machine (the
+        # suite runs alongside TPU benches in CI-like sessions)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
