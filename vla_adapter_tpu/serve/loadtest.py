@@ -49,6 +49,69 @@ def _post(url: str, payload: Dict, timeout: float = 120.0) -> Dict:
         return json.loads(resp.read())
 
 
+def _client_loop(url: str, cid: int, stop: float, t_measure: float,
+                 image_hw: int, proprio_dim: Optional[int], instruction: str,
+                 unnorm_key: Optional[str], latencies: List[float],
+                 errors: List[str], lock) -> None:
+    """One closed-loop client: back-to-back POSTs until the deadline."""
+    rng = np.random.default_rng(1000 + cid)
+    base_full = np.random.default_rng(0).integers(
+        0, 255, size=(image_hw, image_hw, 3), dtype=np.uint8)
+    base_wrist = np.random.default_rng(1).integers(
+        0, 255, size=(image_hw, image_hw, 3), dtype=np.uint8)
+    while time.monotonic() < stop:
+        # unique payload per request: flip a few random pixels
+        full = base_full.copy()
+        ys, xs = rng.integers(0, image_hw, 8), rng.integers(0, image_hw, 8)
+        full[ys, xs] = rng.integers(0, 255, size=(8, 3))
+        payload = {
+            "full_image": encode_ndarray(full),
+            "wrist_image": encode_ndarray(base_wrist),
+            "instruction": instruction,
+        }
+        if proprio_dim:
+            payload["proprio"] = encode_ndarray(
+                rng.normal(size=proprio_dim).astype(np.float32))
+        if unnorm_key:
+            payload["unnorm_key"] = unnorm_key
+        t0 = time.monotonic()
+        try:
+            out = _post(url, payload)
+            dt = time.monotonic() - t0
+            assert "action" in out, out
+            if t0 >= t_measure:
+                with lock:
+                    latencies.append(dt)
+        except Exception as e:  # noqa: BLE001 — recorded, not fatal
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
+            if len(errors) > 100:
+                return
+
+
+def _client_proc(url, cids, stop, t_measure, image_hw, proprio_dim,
+                 instruction, unnorm_key, out_q) -> None:
+    """Entry point for a client worker process: runs len(cids) client
+    threads and ships (latencies, errors) back through out_q. Lives at
+    module top level for multiprocessing 'spawn' (and must not import jax)."""
+    latencies: List[float] = []
+    errors: List[str] = []
+    lock = threading.Lock()
+    threads = [
+        threading.Thread(
+            target=_client_loop,
+            args=(url, cid, stop, t_measure, image_hw, proprio_dim,
+                  instruction, unnorm_key, latencies, errors, lock),
+            daemon=True)
+        for cid in cids
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out_q.put((latencies, errors))
+
+
 def run_load(
     url: str,
     num_clients: int,
@@ -58,59 +121,59 @@ def run_load(
     instruction: str = "pick up the black bowl and place it on the plate",
     unnorm_key: Optional[str] = None,
     warmup_s: float = 0.0,
+    processes: int = 1,
 ) -> Dict:
-    """Closed-loop load: each of ``num_clients`` threads posts back-to-back
-    requests for ``duration_s`` seconds (after ``warmup_s`` of untimed
-    requests to absorb compiles). Returns aggregate stats."""
+    """Closed-loop load: ``num_clients`` clients post back-to-back requests
+    for ``duration_s`` seconds (after ``warmup_s`` of untimed requests to
+    absorb compiles). ``processes > 1`` spreads the clients over separate
+    OS processes — REQUIRED for a fair measurement of a co-located server:
+    in one process the clients' base64/JSON work shares the server's GIL
+    and the 'server' number is really a client bottleneck. Returns
+    aggregate stats."""
     stop = time.monotonic() + warmup_s + duration_s
     t_measure = time.monotonic() + warmup_s
     latencies: List[float] = []
     errors: List[str] = []
-    lock = threading.Lock()
-    rng0 = np.random.default_rng(0)
-    base_full = rng0.integers(0, 255, size=(image_hw, image_hw, 3), dtype=np.uint8)
-    base_wrist = rng0.integers(0, 255, size=(image_hw, image_hw, 3), dtype=np.uint8)
 
-    def client(cid: int) -> None:
-        rng = np.random.default_rng(1000 + cid)
-        n = 0
-        while time.monotonic() < stop:
-            # unique payload per request: flip a few random pixels
-            full = base_full.copy()
-            ys, xs = rng.integers(0, image_hw, 8), rng.integers(0, image_hw, 8)
-            full[ys, xs] = rng.integers(0, 255, size=(8, 3))
-            payload = {
-                "full_image": encode_ndarray(full),
-                "wrist_image": encode_ndarray(base_wrist),
-                "instruction": instruction,
-            }
-            if proprio_dim:
-                payload["proprio"] = encode_ndarray(
-                    rng.normal(size=proprio_dim).astype(np.float32))
-            if unnorm_key:
-                payload["unnorm_key"] = unnorm_key
-            t0 = time.monotonic()
-            try:
-                out = _post(url, payload)
-                dt = time.monotonic() - t0
-                assert "action" in out, out
-                if t0 >= t_measure:
-                    with lock:
-                        latencies.append(dt)
-            except Exception as e:  # noqa: BLE001 — recorded, not fatal
-                with lock:
-                    errors.append(f"{type(e).__name__}: {e}")
-                if len(errors) > 100:
-                    return
-            n += 1
+    if processes <= 1:
+        lock = threading.Lock()
+        threads = [
+            threading.Thread(
+                target=_client_loop,
+                args=(url, i, stop, t_measure, image_hw, proprio_dim,
+                      instruction, unnorm_key, latencies, errors, lock),
+                daemon=True)
+            for i in range(num_clients)
+        ]
+        t_start = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=warmup_s + duration_s + 300)
+    else:
+        import multiprocessing as mp
 
-    threads = [threading.Thread(target=client, args=(i,), daemon=True)
-               for i in range(num_clients)]
-    t_start = time.monotonic()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=warmup_s + duration_s + 300)
+        ctx = mp.get_context("spawn")  # clean children: no inherited device state
+        out_q = ctx.Queue()
+        chunks = [list(range(num_clients))[i::processes] for i in range(processes)]
+        chunks = [c for c in chunks if c]
+        procs = [
+            ctx.Process(
+                target=_client_proc,
+                args=(url, cids, stop, t_measure, image_hw, proprio_dim,
+                      instruction, unnorm_key, out_q),
+                daemon=True)
+            for cids in chunks
+        ]
+        t_start = time.monotonic()
+        for p in procs:
+            p.start()
+        for _ in procs:
+            lat, err = out_q.get(timeout=warmup_s + duration_s + 600)
+            latencies.extend(lat)
+            errors.extend(err)
+        for p in procs:
+            p.join(timeout=60)
     elapsed = min(time.monotonic() - t_start, duration_s) or 1e-9
 
     lat = np.sort(np.asarray(latencies)) * 1e3  # ms
@@ -213,6 +276,9 @@ def main(argv: Optional[List[str]] = None) -> Dict:
     p.add_argument("--url", default=None,
                    help="measure an existing server instead of self-serving")
     p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--processes", type=int, default=4,
+                   help="client worker processes (>1 keeps client-side "
+                        "base64/JSON work off the server's GIL)")
     p.add_argument("--duration", type=float, default=30.0)
     p.add_argument("--warmup", type=float, default=10.0)
     p.add_argument("--tiny", action="store_true")
@@ -262,7 +328,8 @@ def main(argv: Optional[List[str]] = None) -> Dict:
 
     try:
         stats = run_load(url, args.clients, args.duration,
-                         warmup_s=args.warmup, unnorm_key=None)
+                         warmup_s=args.warmup, unnorm_key=None,
+                         processes=args.processes)
         chunk = 8
         stats["actions_per_s"] = round(stats["requests_per_s"] * chunk, 1)
         if server is not None and server.batcher is not None:
