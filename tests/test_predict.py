@@ -144,3 +144,22 @@ def test_device_normalize_matches_host_path(predictor):
     a_dev = predictor.predict_action(imgs, "wipe the table", proprio=p)
     a_host = host.predict_action(imgs, "wipe the table", proprio=p)
     np.testing.assert_allclose(a_dev, a_host, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_preprocess_pool_matches_inline(predictor):
+    """The process-pool pixel pipeline must equal the inline one exactly
+    (same code, different process)."""
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+            for _ in range(2)]
+    p = rng.normal(size=8)
+    inline = predictor.preprocess(imgs, "close the drawer", p)
+    predictor.enable_preprocess_pool(workers=1)
+    try:
+        pooled = predictor.preprocess(imgs, "close the drawer", p)
+    finally:
+        predictor._pixel_pool.close()
+        predictor._pixel_pool = None
+    np.testing.assert_array_equal(inline["pixels"], pooled["pixels"])
+    np.testing.assert_array_equal(inline["ids"], pooled["ids"])

@@ -25,6 +25,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import os
+
 import numpy as np
 from PIL import Image
 
@@ -184,6 +186,86 @@ class ImageProcessor:
         std = np.concatenate(
             [np.asarray(s.std, np.float32) for s in self.towers])
         return mean, std
+
+
+def pool_pixels(
+    images: Sequence[np.ndarray],
+    size: int,
+    crop_scale: Optional[float],
+    towers: Sequence[TowerSpec],
+    resize_strategy: str,
+    geom_only: bool,
+) -> np.ndarray:
+    """One request's full pixel pipeline, as a top-level function so a
+    multiprocessing pool can run it OUTSIDE the serving process's GIL
+    (serve/preprocess pool — the image pipeline is the per-request host
+    hot spot and Python threads cannot parallelize it)."""
+    proc = ImageProcessor(towers=tuple(towers), resize_strategy=resize_strategy)
+    prepped = [prepare_image(img, size=size, center_crop_scale=crop_scale)
+               for img in images]
+    f = proc.geom_only if geom_only else proc
+    return np.stack([f(p) for p in prepped])
+
+
+def spawn_without_accelerator():
+    """Context manager: temporarily strip the env vars that make a fresh
+    interpreter register an accelerator backend at startup (sitecustomize
+    hooks keyed on them), so 'spawn' children boot in ~1 s instead of
+    20-60 s and never touch the device. The parent process is unaffected —
+    its backend is already registered."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        keys = ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+        saved = {k: os.environ.pop(k) for k in keys if k in os.environ}
+        try:
+            yield
+        finally:
+            os.environ.update(saved)
+
+    return _ctx()
+
+
+def _pool_worker_init() -> None:
+    """Eagerly pay the heavy imports at worker spawn, not first request
+    (TF alone is tens of seconds on a busy host)."""
+    _tf()
+
+
+class PixelPool:
+    """Process pool for :func:`pool_pixels`.
+
+    'spawn' children: clean interpreters with no inherited device handles
+    (safe next to a live TPU client); construction BLOCKS until every
+    worker finished its TF import, so the first real request is fast —
+    create the pool at server startup, keep it for the server's lifetime."""
+
+    def __init__(self, workers: int = 4):
+        import multiprocessing as mp
+
+        with spawn_without_accelerator():
+            self._pool = mp.get_context("spawn").Pool(
+                workers, initializer=_pool_worker_init)
+        # barrier: one tiny task per worker; returns once initializers ran
+        dummy = [np.zeros((8, 8, 3), np.uint8)]
+        spec = (TowerSpec(size=8),)
+        for r in [self._pool.apply_async(
+                pool_pixels, (dummy, 8, None, spec, "resize-naive", True))
+                for _ in range(workers)]:
+            r.get(timeout=300)
+
+    def run(self, images, size, crop_scale, towers, resize_strategy,
+            geom_only) -> np.ndarray:
+        return self._pool.apply_async(
+            pool_pixels,
+            (list(images), size, crop_scale, tuple(towers), resize_strategy,
+             geom_only),
+        ).get()
+
+    def close(self) -> None:
+        self._pool.terminate()
+        self._pool.join()
 
 
 def default_image_processor() -> ImageProcessor:

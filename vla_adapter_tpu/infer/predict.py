@@ -74,6 +74,16 @@ class Predictor:
         self._params_device = jax.device_put(self.params)
         mean, std = self.image_processor.norm_constants()
         self._pix_mean, self._pix_std = jnp.asarray(mean), jnp.asarray(std)
+        self._pixel_pool = None
+
+    def enable_preprocess_pool(self, workers: int = 4) -> None:
+        """Route the per-request image pipeline through a process pool —
+        for servers: N concurrent requests preprocess on N cores instead of
+        timeslicing one GIL (serve/server.py wires this via
+        ActionServer(preprocess_workers=N))."""
+        from vla_adapter_tpu.data.image_processing import PixelPool
+
+        self._pixel_pool = PixelPool(workers)
 
     def _forward(self, params, ids, prompt_len, valid, pixels, proprio):
         if pixels.dtype == jnp.uint8:
@@ -131,21 +141,27 @@ class Predictor:
         cfg = self.cfg
         key = self._resolve_unnorm_key(unnorm_key)
         ids, plen, valid = self.transform.inference_ids(instruction)
-        proc = (self.image_processor.geom_only if self.device_normalize
-                else self.image_processor)
-        prepped = [
-            prepare_image(
-                img,
-                size=cfg.vision.primary.image_size,
-                center_crop_scale=0.9 if self.center_crop else None,
-            )
-            for img in images
-        ]
+        crop = 0.9 if self.center_crop else None
+        size = cfg.vision.primary.image_size
+        if self._pixel_pool is not None:
+            # run the image pipeline in a worker process — concurrent
+            # requests then truly parallelize instead of GIL-sharing
+            pixels = self._pixel_pool.run(
+                images, size, crop, self.image_processor.towers,
+                self.image_processor.resize_strategy, self.device_normalize)
+        else:
+            proc = (self.image_processor.geom_only if self.device_normalize
+                    else self.image_processor)
+            prepped = [
+                prepare_image(img, size=size, center_crop_scale=crop)
+                for img in images
+            ]
+            pixels = np.stack([proc(p) for p in prepped])
         row = {
             "ids": np.asarray(ids, np.int32),
             "plen": np.int32(plen),
             "valid": np.asarray(valid, np.int32),
-            "pixels": np.stack([proc(p) for p in prepped]).astype(
+            "pixels": pixels.astype(
                 np.uint8 if self.device_normalize else np.float32),
         }
         if cfg.use_proprio and proprio is not None:

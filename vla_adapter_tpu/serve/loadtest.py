@@ -153,6 +153,10 @@ def run_load(
     else:
         import multiprocessing as mp
 
+        from vla_adapter_tpu.data.image_processing import (
+            spawn_without_accelerator,
+        )
+
         ctx = mp.get_context("spawn")  # clean children: no inherited device state
         out_q = ctx.Queue()
         chunks = [list(range(num_clients))[i::processes] for i in range(processes)]
@@ -166,8 +170,9 @@ def run_load(
             for cids in chunks
         ]
         t_start = time.monotonic()
-        for p in procs:
-            p.start()
+        with spawn_without_accelerator():  # ~1 s child boot, not 20-60 s
+            for p in procs:
+                p.start()
         for _ in procs:
             lat, err = out_q.get(timeout=warmup_s + duration_s + 600)
             latencies.extend(lat)
@@ -289,6 +294,8 @@ def main(argv: Optional[List[str]] = None) -> Dict:
                    help="compile every batch bucket before applying load")
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=8.0)
+    p.add_argument("--preprocess-workers", type=int, default=0,
+                   help="server-side image-pipeline process pool size")
     args = p.parse_args(argv)
 
     server = None
@@ -322,7 +329,8 @@ def main(argv: Optional[List[str]] = None) -> Dict:
         server = ActionServer(
             predictor, host="127.0.0.1", port=0,
             dynamic_batch=args.dynamic_batch, max_batch=args.max_batch,
-            max_wait_ms=args.max_wait_ms)
+            max_wait_ms=args.max_wait_ms,
+            preprocess_workers=args.preprocess_workers)
         port = server.serve_background()
         url = f"http://127.0.0.1:{port}/act"
 

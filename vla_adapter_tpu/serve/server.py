@@ -56,11 +56,15 @@ class ActionServer:
 
     def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8777,
                  dynamic_batch: bool = False, max_batch: int = 16,
-                 max_wait_ms: float = 4.0):
+                 max_wait_ms: float = 4.0, preprocess_workers: int = 0):
         self.predictor = predictor
         self.host, self.port = host, port
         self._httpd: Optional[ThreadingHTTPServer] = None
         self.batcher = None
+        if preprocess_workers and hasattr(predictor, "enable_preprocess_pool"):
+            # image pipeline on a process pool: concurrent requests
+            # preprocess on real cores instead of timeslicing the GIL
+            predictor.enable_preprocess_pool(preprocess_workers)
         if dynamic_batch:
             from vla_adapter_tpu.serve.batching import DynamicBatcher
 
