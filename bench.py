@@ -282,9 +282,16 @@ def main():
     int8_row = run(max(batches), k_chain=12, iters=8, int8=True)
     # W8A8: dynamic per-token activation quant + int8 MXU matmuls (2x bf16
     # peak). MFU is still reported against the bf16 peak for comparability.
+    # Measured at batch 1 AND the largest batch: batch-1 w8a8 is both the
+    # best latency and (per-chip) the best throughput — weight streaming
+    # dominates batch 1 and int8 halves it, while attention/softmax scale
+    # linearly with batch so batching buys little once weights are 1 byte.
     w8a8_row = run(max(batches), k_chain=12, iters=8, act_int8=True)
     w8a8_row["mode"] = "w8a8"
-    best = max(sweep + [int8_row, w8a8_row], key=lambda r: r["chunks_per_s"])
+    w8a8_b1 = run(1, k_chain=12, iters=8, act_int8=True)
+    w8a8_b1["mode"] = "w8a8"
+    best = max(sweep + [int8_row, w8a8_row, w8a8_b1],
+               key=lambda r: r["chunks_per_s"])
 
     train_step_s = None
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
@@ -297,7 +304,8 @@ def main():
         "unit": (
             f"8-action chunks/s on one v5e chip (batch {best['batch']}"
             f"{', int8' if best is int8_row else ''}"
-            f"{', w8a8' if best is w8a8_row else ''}, mfu {best['mfu']:.2f}; "
+            f"{', w8a8' if best.get('mode') == 'w8a8' else ''}"
+            f", mfu {best['mfu']:.2f}; "
             f"batch-1 latency {latency_row['s_per_forward']*1e3:.1f} ms/chunk; "
             f"dispatch overhead {overhead*1e3:.1f} ms subtracted)"
         ),
@@ -307,6 +315,7 @@ def main():
             "bf16_sweep": sweep,
             "int8": int8_row,
             "w8a8": w8a8_row,
+            "w8a8_batch1": w8a8_b1,
             "latency_s_batch1": latency_row["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),
