@@ -212,8 +212,6 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool):
     from vla_adapter_tpu.models.vla import VLAModel
 
     if tiny:
-        import dataclasses
-
         from vla_adapter_tpu.core.config import (
             ActionHeadConfig, FusedVisionConfig, Qwen2Config, ViTConfig)
         from vla_adapter_tpu.core.constants import (

@@ -20,7 +20,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from vla_adapter_tpu.train.step import TrainState

@@ -16,7 +16,6 @@ for .pt/.bin files (host-side, CPU); safetensors are read without torch.
 
 from __future__ import annotations
 
-import glob
 import json
 from pathlib import Path
 from typing import Any, Dict, Optional
