@@ -183,3 +183,11 @@ def test_loadtest_run_load_against_fake_server():
     assert stats["completed"] > 10
     assert stats["latency_ms"]["p50"] > 0
     assert stats["latency_ms"]["p99"] >= stats["latency_ms"]["p50"]
+
+
+def test_bucket_ladder_extends_past_defaults():
+    fake = FakeBatchPredictor()
+    b = DynamicBatcher(fake, max_batch=32, max_wait_ms=1.0)
+    assert max(b.buckets) >= 32
+    assert _bucket(17, b.buckets) == 32
+    b.close()

@@ -163,3 +163,13 @@ def test_preprocess_pool_matches_inline(predictor):
         predictor._pixel_pool = None
     np.testing.assert_array_equal(inline["pixels"], pooled["pixels"])
     np.testing.assert_array_equal(inline["ids"], pooled["ids"])
+
+
+def test_mixed_proprio_batch_raises(predictor):
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+            for _ in range(2)]
+    rows = [predictor.preprocess(imgs, "a", rng.normal(size=8)),
+            predictor.preprocess(imgs, "b", None)]
+    with pytest.raises(ValueError, match="proprio"):
+        predictor.predict_action_rows(rows)

@@ -25,7 +25,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import contextlib
 import os
+import threading
 
 import numpy as np
 from PIL import Image
@@ -192,45 +194,50 @@ def pool_pixels(
     images: Sequence[np.ndarray],
     size: int,
     crop_scale: Optional[float],
-    towers: Sequence[TowerSpec],
-    resize_strategy: str,
+    processor: "ImageProcessor",
     geom_only: bool,
 ) -> np.ndarray:
     """One request's full pixel pipeline, as a top-level function so a
     multiprocessing pool can run it OUTSIDE the serving process's GIL
     (serve/preprocess pool — the image pipeline is the per-request host
-    hot spot and Python threads cannot parallelize it)."""
-    proc = ImageProcessor(towers=tuple(towers), resize_strategy=resize_strategy)
+    hot spot and Python threads cannot parallelize it). The ImageProcessor
+    travels by pickle so the pool path uses the exact same configuration
+    (towers, resize strategy, letterbox fill) as the inline path."""
     prepped = [prepare_image(img, size=size, center_crop_scale=crop_scale)
                for img in images]
-    f = proc.geom_only if geom_only else proc
+    f = processor.geom_only if geom_only else processor
     return np.stack([f(p) for p in prepped])
 
 
-def spawn_without_accelerator():
-    """Context manager: temporarily strip the env vars that make a fresh
-    interpreter register an accelerator backend at startup (sitecustomize
-    hooks keyed on them), so 'spawn' children boot in ~1 s instead of
-    20-60 s and never touch the device. The parent process is unaffected —
-    its backend is already registered."""
-    import contextlib
+_SPAWN_ENV_LOCK = threading.Lock()
 
-    @contextlib.contextmanager
-    def _ctx():
-        keys = ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+
+@contextlib.contextmanager
+def spawn_without_accelerator():
+    """Temporarily strip the env vars that make a fresh interpreter register
+    an accelerator backend at startup (sitecustomize hooks keyed on them),
+    so 'spawn' children boot in ~1 s instead of 20-60 s and never touch the
+    device. The parent process is unaffected — its backend is already
+    registered. Serialized under a lock: os.environ is process-global and
+    two concurrent spawners must not interleave the pop/restore."""
+    keys = ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+    with _SPAWN_ENV_LOCK:
         saved = {k: os.environ.pop(k) for k in keys if k in os.environ}
         try:
             yield
         finally:
             os.environ.update(saved)
 
-    return _ctx()
 
-
-def _pool_worker_init() -> None:
+def _pool_worker_init(barrier) -> None:
     """Eagerly pay the heavy imports at worker spawn, not first request
-    (TF alone is tens of seconds on a busy host)."""
+    (TF alone is tens of seconds on a busy host), then rendezvous so NO
+    worker accepts tasks before EVERY worker is warm — without the barrier
+    one fast worker drains the warm-up tasks and cold ones meet real
+    traffic."""
     _tf()
+    if barrier is not None:
+        barrier.wait(timeout=300)
 
 
 class PixelPool:
@@ -238,30 +245,34 @@ class PixelPool:
 
     'spawn' children: clean interpreters with no inherited device handles
     (safe next to a live TPU client); construction BLOCKS until every
-    worker finished its TF import, so the first real request is fast —
-    create the pool at server startup, keep it for the server's lifetime."""
+    worker finished its TF import (initializer barrier + one probe task),
+    so the first real request is fast — create the pool at server startup,
+    keep it for the server's lifetime."""
 
-    def __init__(self, workers: int = 4):
+    def __init__(self, workers: int = 4, task_timeout_s: float = 120.0):
         import multiprocessing as mp
 
+        self.task_timeout_s = task_timeout_s
+        ctx = mp.get_context("spawn")
+        barrier = ctx.Barrier(workers)
         with spawn_without_accelerator():
-            self._pool = mp.get_context("spawn").Pool(
-                workers, initializer=_pool_worker_init)
-        # barrier: one tiny task per worker; returns once initializers ran
+            self._pool = ctx.Pool(
+                workers, initializer=_pool_worker_init, initargs=(barrier,))
+        # probe: any task can only run once all initializers passed the
+        # barrier, so one get() proves the whole pool is warm
         dummy = [np.zeros((8, 8, 3), np.uint8)]
-        spec = (TowerSpec(size=8),)
-        for r in [self._pool.apply_async(
-                pool_pixels, (dummy, 8, None, spec, "resize-naive", True))
-                for _ in range(workers)]:
-            r.get(timeout=300)
+        self._pool.apply_async(
+            pool_pixels, (dummy, 8, None, ImageProcessor(
+                towers=(TowerSpec(size=8),)), True)
+        ).get(timeout=300)
 
-    def run(self, images, size, crop_scale, towers, resize_strategy,
-            geom_only) -> np.ndarray:
+    def run(self, images, size, crop_scale, processor, geom_only) -> np.ndarray:
+        # bounded get(): a worker killed mid-task (OOM, segfault) loses its
+        # ApplyResult forever; without a timeout the serving request thread
+        # would be leaked permanently
         return self._pool.apply_async(
-            pool_pixels,
-            (list(images), size, crop_scale, tuple(towers), resize_strategy,
-             geom_only),
-        ).get()
+            pool_pixels, (list(images), size, crop_scale, processor, geom_only)
+        ).get(timeout=self.task_timeout_s)
 
     def close(self) -> None:
         self._pool.terminate()

@@ -147,8 +147,8 @@ class Predictor:
             # run the image pipeline in a worker process — concurrent
             # requests then truly parallelize instead of GIL-sharing
             pixels = self._pixel_pool.run(
-                images, size, crop, self.image_processor.towers,
-                self.image_processor.resize_strategy, self.device_normalize)
+                images, size, crop, self.image_processor,
+                self.device_normalize)
         else:
             proc = (self.image_processor.geom_only if self.device_normalize
                     else self.image_processor)
@@ -162,7 +162,8 @@ class Predictor:
             "plen": np.int32(plen),
             "valid": np.asarray(valid, np.int32),
             "pixels": pixels.astype(
-                np.uint8 if self.device_normalize else np.float32),
+                np.uint8 if self.device_normalize else np.float32,
+                copy=False),
         }
         if cfg.use_proprio and proprio is not None:
             row["proprio"] = normalize(
@@ -184,7 +185,14 @@ class Predictor:
         stats = self.norm_stats[key]
         pixels = np.stack([r["pixels"] for r in rows])
         proprio = None
-        if all("proprio" in r for r in rows) and self.cfg.use_proprio:
+        n_proprio = sum("proprio" in r for r in rows)
+        if n_proprio and n_proprio != len(rows):
+            # dropping proprio for rows that supplied it would be silently
+            # wrong actions; mixed batches are a caller bug
+            raise ValueError(
+                f"{n_proprio}/{len(rows)} rows carry proprio — a batch must "
+                "be all-proprio or none (serve/batching.py groups by this)")
+        if n_proprio and self.cfg.use_proprio:
             proprio = np.stack([r["proprio"] for r in rows])
         actions = self._fwd(
             self._params_device,

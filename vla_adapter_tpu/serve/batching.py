@@ -65,7 +65,11 @@ class DynamicBatcher:
         max_wait_ms: float = 4.0,
         buckets: Sequence[int] = (1, 2, 4, 8, 16),
     ):
-        assert max_batch <= max(buckets), (max_batch, buckets)
+        # extend the bucket ladder (powers of two) up to max_batch so any
+        # max_batch works with the default buckets
+        buckets = list(buckets)
+        while max(buckets) < max_batch:
+            buckets.append(max(buckets) * 2)
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3

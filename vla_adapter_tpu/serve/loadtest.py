@@ -59,6 +59,7 @@ def _client_loop(url: str, cid: int, stop: float, t_measure: float,
         0, 255, size=(image_hw, image_hw, 3), dtype=np.uint8)
     base_wrist = np.random.default_rng(1).integers(
         0, 255, size=(image_hw, image_hw, 3), dtype=np.uint8)
+    fail_streak = 0
     while time.monotonic() < stop:
         # unique payload per request: flip a few random pixels
         full = base_full.copy()
@@ -82,10 +83,16 @@ def _client_loop(url: str, cid: int, stop: float, t_measure: float,
             if t0 >= t_measure:
                 with lock:
                     latencies.append(dt)
+            fail_streak = 0
         except Exception as e:  # noqa: BLE001 — recorded, not fatal
-            with lock:
-                errors.append(f"{type(e).__name__}: {e}")
-            if len(errors) > 100:
+            # warmup exists to absorb compiles: failures before t_measure
+            # (cold-compile client timeouts) don't belong in the headline
+            # stats, but a long uninterrupted failure streak still aborts
+            if t0 >= t_measure:
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+            fail_streak += 1
+            if fail_streak > 50 or len(errors) > 100:
                 return
 
 
@@ -182,7 +189,9 @@ def run_load(
     elapsed = min(time.monotonic() - t_start, duration_s) or 1e-9
 
     lat = np.sort(np.asarray(latencies)) * 1e3  # ms
-    pct = (lambda p: float(lat[min(int(len(lat) * p / 100), len(lat) - 1)])
+    # nearest-rank percentile: ceil(p/100 * n) - 1 (floor(n*p/100) would
+    # bias small samples a rank high — p50 of 2 samples must be the 1st)
+    pct = (lambda p: float(lat[max(0, -(-len(lat) * p // 100) - 1)])
            if len(lat) else None)
     return {
         "num_clients": num_clients,
@@ -314,9 +323,10 @@ def main(argv: Optional[List[str]] = None) -> Dict:
             rng = np.random.default_rng(9)
             hw = predictor.cfg.vision.primary.image_size
             n_img = predictor.cfg.vision.num_images
-            for b in (1, 2, 4, 8, 16):
-                if b > args.max_batch:
-                    break
+            ladder = [1]
+            while ladder[-1] < args.max_batch:
+                ladder.append(ladder[-1] * 2)  # mirror DynamicBatcher buckets
+            for b in ladder:
                 imgs = [[rng.integers(0, 255, size=(hw, hw, 3), dtype=np.uint8)
                          for _ in range(n_img)] for _ in range(b)]
                 predictor.predict_action_batch(

@@ -61,10 +61,12 @@ class ActionServer:
         self.host, self.port = host, port
         self._httpd: Optional[ThreadingHTTPServer] = None
         self.batcher = None
+        self._owns_pixel_pool = False
         if preprocess_workers and hasattr(predictor, "enable_preprocess_pool"):
             # image pipeline on a process pool: concurrent requests
             # preprocess on real cores instead of timeslicing the GIL
             predictor.enable_preprocess_pool(preprocess_workers)
+            self._owns_pixel_pool = True
         if dynamic_batch:
             from vla_adapter_tpu.serve.batching import DynamicBatcher
 
@@ -137,6 +139,13 @@ class ActionServer:
             self._httpd.shutdown()
         if self.batcher is not None:
             self.batcher.close()
+        pool = getattr(self.predictor, "_pixel_pool", None)
+        if self._owns_pixel_pool and pool is not None:
+            # the server created these spawn workers (each holding a full
+            # TF import); leaking them across create/shutdown cycles
+            # accumulates processes until the parent exits
+            pool.close()
+            self.predictor._pixel_pool = None
 
 
 def make_fastapi_app(predictor):
