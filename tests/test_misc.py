@@ -84,3 +84,67 @@ def test_step_timer():
             time.sleep(0.01)
     s = t.summary()
     assert s["steps"] == 3 and 0.005 < s["median_s"] < 0.1
+
+
+def test_vlm_dataset_prepare_offline(tmp_path):
+    """Registry + extract + rename + jpg-conversion paths, no network:
+    pre-stage a component archive exactly where download_file would put it
+    and drive download_extract / convert_images_to_jpg over it."""
+    import json
+    import zipfile
+
+    import numpy as np
+    from PIL import Image
+
+    from vla_adapter_tpu.data.vlm_datasets import (
+        DATASET_REGISTRY,
+        convert_images_to_jpg,
+        download_extract,
+        extract_archive,
+    )
+
+    # registry sanity: unique names, https/http urls, both reference stages
+    assert set(DATASET_REGISTRY) == {"llava-laion-cc-sbu-558k",
+                                     "llava-v1.5-instruct"}
+    for comps in DATASET_REGISTRY.values():
+        names = [c["name"] for c in comps]
+        assert len(names) == len(set(names))
+        assert all(c["url"].startswith(("http://", "https://")) for c in comps)
+
+    # stage the align dataset offline: chat json (pre-renamed) + images.zip
+    ddir = tmp_path / "download" / "llava-laion-cc-sbu-558k"
+    ddir.mkdir(parents=True)
+    (ddir / "chat.json").write_text(json.dumps([{"id": "0"}]))
+    rng = np.random.default_rng(0)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(
+            src / f"{i}.jpg")
+    with zipfile.ZipFile(ddir / "images.zip", "w") as zf:
+        for p in sorted(src.iterdir()):
+            zf.write(p, f"images/{p.name}")
+
+    out = download_extract("llava-laion-cc-sbu-558k", tmp_path)
+    assert (out / "chat.json").exists()
+    assert sorted(p.name for p in (out / "images").iterdir()) == [
+        "0.jpg", "1.jpg", "2.jpg"]
+
+    # conversion: png + gif + existing jpg -> exactly two new jpgs
+    conv = tmp_path / "ocr"
+    conv.mkdir()
+    arr = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(conv / "a.png")
+    Image.fromarray(arr).save(conv / "b.gif")
+    Image.fromarray(arr).save(conv / "c.jpg")
+    assert convert_images_to_jpg(conv) == 2
+    assert {p.name for p in conv.iterdir()} >= {"a.jpg", "b.jpg", "c.jpg"}
+
+    # tar path of extract_archive
+    import tarfile
+    tdir = tmp_path / "tarred"
+    tdir.mkdir()
+    with tarfile.open(tdir / "x.tar.gz", "w:gz") as tf:
+        tf.add(src, arcname="imgs")
+    top = extract_archive(tdir / "x.tar.gz", tdir)
+    assert top.name == "imgs" and len(list(top.iterdir())) == 3
