@@ -144,3 +144,44 @@ def test_phi_registry():
     assert isinstance(cfg, PhiConfig)
     assert cfg.rotary_dim == 32 and cfg.num_kv_heads == cfg.num_heads
     assert LLM_PROMPT_FAMILY["phi-2-3b"] == "phi"
+
+
+def test_phi_backed_vla_forward_and_config_export(tmp_path):
+    """A PhiConfig in VLAConfig.llm runs through the full VLA model (family
+    dispatch in models/vla.py) and write_config_json handles the phi
+    text_config fields."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from tests.test_train_step import TINY_CFG
+    from vla_adapter_tpu.models.layers import Runtime
+    from vla_adapter_tpu.models.vla import VLAModel
+    from vla_adapter_tpu.weights.export import write_config_json
+
+    cfg = dataclasses.replace(TINY_CFG, llm=TINY)
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model = VLAModel(cfg, rt)
+    b = 2
+    out = model.init_with_output(
+        jax.random.key(0),
+        input_ids=jnp.zeros((b, cfg.max_text_tokens), jnp.int32),
+        prompt_len=jnp.full((b,), 5, jnp.int32),
+        text_valid=jnp.ones((b, cfg.max_text_tokens), jnp.int32),
+        pixel_values=jnp.zeros((b, 2, 28, 28, 3), jnp.float32),
+        proprio=jnp.zeros((b, 8), jnp.float32),
+    )[0]
+    actions = out["actions"]
+    assert actions.shape == (b, cfg.constants.num_actions_chunk,
+                             cfg.constants.action_dim)
+    assert np.isfinite(np.asarray(actions)).all()
+
+    write_config_json(cfg, tmp_path)
+    doc = json.loads((tmp_path / "config.json").read_text())
+    assert doc["text_config"]["model_type"] == "phi"
+    assert doc["text_config"]["partial_rotary_factor"] == TINY.partial_rotary_factor
+
+    # lossless round-trip of the phi-backed config
+    from vla_adapter_tpu.weights.load import vla_config_from_checkpoint
+    assert vla_config_from_checkpoint(tmp_path) == cfg

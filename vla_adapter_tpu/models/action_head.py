@@ -121,12 +121,17 @@ class _BridgeBlockBase(nn.Module):
 class BridgeBlock(_BridgeBlockBase):
     """Original block: shared q/k/v projections across streams. The shared
     k/v kernels live at head level (stacked); this block receives its
-    layer's precomputed adapter/task k/v plus the raw kernel slices to
-    project the (evolving) self stream."""
+    layer's precomputed adapter/task k/v plus the raw kernel slices (+ the
+    per-out-channel dequant scales — ones in float mode) to project the
+    (evolving) self stream. The scale applies to the matmul OUTPUT
+    ((x @ Wq) * s == x @ (Wq * s) exactly for per-column s), so in int8
+    serving the kernel stacks stream from HBM at 1 byte/weight — the
+    whole point of weights_int8 — instead of being dequantized to a full
+    bf16 copy outside the scan."""
 
     @nn.compact
     def __call__(self, x, k_adapter, v_adapter, k_task, v_task,
-                 k_kernel, k_bias, v_kernel, v_bias):
+                 k_kernel, k_scale, k_bias, v_kernel, v_scale, v_bias):
         cfg, rt = self.cfg, self.rt
         H = cfg.num_attn_heads
         gate = self.param("gating_factor", nn.initializers.zeros, (1,), rt.param_dtype)
@@ -134,9 +139,11 @@ class BridgeBlock(_BridgeBlockBase):
 
         q = _heads(Dense(cfg.hidden_dim, rt=rt, name="q_proj")(x), H)
         xc = x.astype(rt.dtype)
-        k_self = _heads(xc @ k_kernel.astype(rt.dtype)
+        k_self = _heads((xc @ k_kernel.astype(rt.dtype))
+                        * k_scale.astype(rt.dtype)
                         + k_bias.astype(rt.dtype), H)
-        v_self = _heads(xc @ v_kernel.astype(rt.dtype)
+        v_self = _heads((xc @ v_kernel.astype(rt.dtype))
+                        * v_scale.astype(rt.dtype)
                         + v_bias.astype(rt.dtype), H)
         streams = [(k_self, v_self), (k_adapter, v_adapter), (k_task, v_task)]
         out = self._attend(q, streams, ratio_g)
@@ -270,19 +277,22 @@ class L1RegressionActionHead(nn.Module):
         x = nn.relu(x)
 
         if not cfg.use_pro_version:
-            # pass kernel slices through the scan for the self stream
+            # pass kernel slices (+ dequant scales) through the scan for the
+            # self stream; the per-layer dequant happens inside the block so
+            # int8 kernels stream as 1 byte/weight
             k_params = self.get_variable("params", "k_proj")
             v_params = self.get_variable("params", "v_proj")
             if self.rt.weights_int8:
-                k_kernels = (k_params["kernel_q"].astype(rt.dtype)
-                             * k_params["kernel_scale"].astype(rt.dtype)[:, None, :])
-                v_kernels = (v_params["kernel_q"].astype(rt.dtype)
-                             * v_params["kernel_scale"].astype(rt.dtype)[:, None, :])
+                k_kernels, v_kernels = k_params["kernel_q"], v_params["kernel_q"]
+                k_scales = k_params["kernel_scale"]
+                v_scales = v_params["kernel_scale"]
             else:
-                k_kernels = k_params["kernel"]
-                v_kernels = v_params["kernel"]
-            xs = xs + (k_kernels, k_params["bias"], v_kernels, v_params["bias"])
-            scan_in_axes = scan_in_axes + (0, 0, 0, 0)
+                k_kernels, v_kernels = k_params["kernel"], v_params["kernel"]
+                k_scales = jnp.ones((num_blocks, cfg.hidden_dim), rt.dtype)
+                v_scales = k_scales  # exact: x1.0 is the identity
+            xs = xs + (k_kernels, k_scales, k_params["bias"],
+                       v_kernels, v_scales, v_params["bias"])
+            scan_in_axes = scan_in_axes + (0, 0, 0, 0, 0, 0)
 
         scanned = nn.scan(
             _BlockScan,

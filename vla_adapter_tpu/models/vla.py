@@ -42,8 +42,8 @@ import jax.numpy as jnp
 from vla_adapter_tpu.core.config import VLAConfig
 from vla_adapter_tpu.models.action_head import L1RegressionActionHead
 from vla_adapter_tpu.models.layers import Runtime
+from vla_adapter_tpu.models.llm import llm_model_class
 from vla_adapter_tpu.models.projector import FusedProjector, Projector, ProprioProjector
-from vla_adapter_tpu.models.qwen2 import Qwen2Model
 from vla_adapter_tpu.models.vit import VisionTransformer
 
 
@@ -119,7 +119,9 @@ class VLAModel(nn.Module):
         num_patches = cfg.num_patches
         b, t_text = input_ids.shape
 
-        llm = Qwen2Model(cfg.llm, rt, name="language_model")
+        # family dispatch (models/llm.py): the VLA wiring only needs the
+        # shared decoder contract, so a Phi-backed VLA works identically
+        llm = llm_model_class(cfg.llm)(cfg.llm, rt, name="language_model")
 
         # --- text embeddings (tied table inside the LLM) + query splice ---
         text_embeds = llm.embed_tokens(input_ids)

@@ -182,10 +182,15 @@ def build_vlm_config(entry: ZooEntry,
     from vla_adapter_tpu.models.registry import (
         get_llm_backbone,
         get_vision_backbone,
+        with_num_images,
     )
 
+    vision = get_vision_backbone(entry.vision_backbone_id)
+    if entry.image_sequence_len > 1:
+        # reference image_sequence_len: same towers, N frames per sample
+        vision = with_num_images(vision, entry.image_sequence_len)
     return VLAConfig(
-        vision=get_vision_backbone(entry.vision_backbone_id),
+        vision=vision,
         llm=get_llm_backbone(entry.llm_backbone_id),
         use_proprio=False,
         bidirectional_attention=False,

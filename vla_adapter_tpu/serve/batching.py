@@ -75,6 +75,7 @@ class DynamicBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self.buckets = tuple(sorted(buckets))
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._closed = False
         self._batch_sizes: List[int] = []
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -89,6 +90,8 @@ class DynamicBatcher:
         proprio: Optional[np.ndarray] = None,
         unnorm_key: Optional[str] = None,
     ) -> np.ndarray:
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
         req = _Request(images, instruction, proprio, unnorm_key)
         if hasattr(self.predictor, "preprocess"):
             # do the expensive host work here, on the caller's thread —
@@ -104,8 +107,23 @@ class DynamicBatcher:
         return req.result
 
     def close(self) -> None:
+        self._closed = True
         self._q.put(None)
         self._worker.join(timeout=5)
+        self._fail_pending(RuntimeError("DynamicBatcher closed"))
+
+    def _fail_pending(self, err: BaseException) -> None:
+        """Error out requests stranded behind the shutdown sentinel —
+        without this their caller threads would block in done.wait()
+        forever."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item.error = err
+                item.done.set()
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
@@ -144,16 +162,18 @@ class DynamicBatcher:
             for key, group in self._group(batch).items():
                 self._execute(key, group)
 
-    def _group(
-        self, batch: List[_Request]
-    ) -> Dict[Tuple[Optional[str], bool], List[_Request]]:
-        groups: Dict[Tuple[Optional[str], bool], List[_Request]] = {}
+    def _group(self, batch: List[_Request]) -> Dict[tuple, List[_Request]]:
+        # image count is part of the key: wrist_image is optional at the
+        # server, so 1- and 2-image requests can coexist — stacking them in
+        # one forward would fail EVERY request in the group
+        groups: Dict[tuple, List[_Request]] = {}
         for r in batch:
-            groups.setdefault((r.unnorm_key, r.proprio is not None), []).append(r)
+            key = (r.unnorm_key, r.proprio is not None, len(r.images))
+            groups.setdefault(key, []).append(r)
         return groups
 
     def _execute(self, key, group: List[_Request]) -> None:
-        unnorm_key, has_proprio = key
+        unnorm_key, has_proprio, _num_images = key
         try:
             n = len(group)
             padded = _bucket(n, self.buckets)

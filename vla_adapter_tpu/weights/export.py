@@ -198,13 +198,24 @@ def export_checkpoint_dir(params: Dict[str, Any], cfg: VLAConfig, out_dir,
 def write_config_json(cfg: VLAConfig, out_dir, norm_stats=None) -> Path:
     """Reference-compatible config.json + a lossless `vla_adapter_tpu` block
     so non-registry geometries round-trip through load.vla_config_from_checkpoint."""
-    from vla_adapter_tpu.core.config import vla_config_to_dict
+    from vla_adapter_tpu.core.config import PhiConfig, vla_config_to_dict
 
     l = cfg.llm
-    doc = {
-        "model_type": "openvla",
-        "n_action_bins": cfg.n_action_bins,
-        "text_config": {
+    if isinstance(l, PhiConfig):
+        text_config = {
+            "model_type": "phi",
+            "vocab_size": l.vocab_size,
+            "hidden_size": l.hidden_size,
+            "num_hidden_layers": l.num_layers,
+            "num_attention_heads": l.num_heads,
+            "intermediate_size": l.intermediate_size,
+            "layer_norm_eps": l.layer_norm_eps,
+            "partial_rotary_factor": l.partial_rotary_factor,
+            "rope_theta": l.rope_theta,
+            "tie_word_embeddings": False,
+        }
+    else:
+        text_config = {
             "model_type": "qwen2",
             "vocab_size": l.vocab_size,
             "hidden_size": l.hidden_size,
@@ -216,7 +227,11 @@ def write_config_json(cfg: VLAConfig, out_dir, norm_stats=None) -> Path:
             "rope_theta": l.rope_theta,
             "head_dim": l.head_dim,
             "tie_word_embeddings": l.tie_word_embeddings,
-        },
+        }
+    doc = {
+        "model_type": "openvla",
+        "n_action_bins": cfg.n_action_bins,
+        "text_config": text_config,
         "vla_adapter_tpu": vla_config_to_dict(cfg),
     }
     if norm_stats is not None:
