@@ -259,3 +259,20 @@ def test_param_shardings_fsdp_rules():
     assert "fsdp" in str(spec)
     spec0 = param_pspec("x/kernel", (3,), fsdp_size=2, min_fsdp_size=1)
     assert spec0 == jax.sharding.PartitionSpec(None)
+
+
+def test_shard_batch_accumulation_axis():
+    """Grad-accumulation batches (A, B/A, ...) must shard the EXAMPLE axis
+    (1), not the microbatch-step axis lax.scan iterates — sharding axis 0
+    either fails divisibility (A < devices) or silently replicates every
+    example on every device."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(data=4, fsdp=2)
+    batch = {"x": np.zeros((2, 8, 3), np.float32)}   # A=2, B/A=8
+    out = shard_batch(jax.tree.map(jnp.asarray, batch), mesh, batch_axis=1)
+    assert out["x"].sharding.spec == P(None, ("data", "fsdp"), None)
+    # axis 0 = A=2 is NOT divisible by the 8 devices; the old behavior
+    # (batch_axis=0) would raise here
+    out0 = shard_batch(jax.tree.map(jnp.asarray, batch), mesh, batch_axis=1)
+    assert np.asarray(out0["x"]).shape == (2, 8, 3)

@@ -280,3 +280,38 @@ def test_vla_param_count_matches_init(torch_world):
         assert np.asarray(a).shape == np.asarray(b).shape, (
             jax.tree_util.keystr(p1), np.asarray(a).shape, np.asarray(b).shape
         )
+
+
+def test_compute_actions_false_logits_match():
+    """Token-objective fast path: skipping the head + computing logits only
+    at text positions must give bit-identical logits to the full path (the
+    tied lm head is a row-independent matmul)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tests.test_train_step import TINY_CFG
+    from vla_adapter_tpu.models.layers import Runtime
+    from vla_adapter_tpu.models.vla import VLAModel
+
+    cfg = dataclasses.replace(TINY_CFG)
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model = VLAModel(cfg, rt)
+    b = 2
+    kwargs = dict(
+        input_ids=jnp.zeros((b, cfg.max_text_tokens), jnp.int32),
+        prompt_len=jnp.full((b,), 5, jnp.int32),
+        text_valid=jnp.ones((b, cfg.max_text_tokens), jnp.int32),
+        pixel_values=jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, 2, 28, 28, 3)),
+            jnp.float32),
+        proprio=jnp.zeros((b, 8), jnp.float32),
+    )
+    params = model.init(jax.random.key(0), **kwargs)["params"]
+    full = model.apply({"params": params}, **kwargs, compute_logits=True)
+    fast = model.apply({"params": params}, **kwargs, compute_logits=True,
+                       compute_actions=False)
+    assert "actions" not in fast
+    np.testing.assert_array_equal(np.asarray(full["logits"]),
+                                  np.asarray(fast["logits"]))

@@ -99,3 +99,16 @@ ACTION_TOKENIZERS = {
     "uniform": ActionTokenizer,
     "vq": VQActionTokenizer,
 }
+
+
+def detokenize_bin_ids_jnp(token_ids, tokenizer_len: int, n_bins: int = 256):
+    """jnp twin of decode_token_ids_to_actions — the ONE bin-center inverse
+    used by both the discrete decode path (models/generate.py) and the
+    token-objective train metrics (train/step.py), so the clamping
+    arithmetic cannot drift between them and the numpy original above."""
+    import jax.numpy as jnp
+
+    bins = jnp.linspace(-1.0, 1.0, n_bins)
+    centers = (bins[:-1] + bins[1:]) / 2.0
+    disc = jnp.clip(tokenizer_len - token_ids - 1, 0, n_bins - 2)
+    return centers[disc]

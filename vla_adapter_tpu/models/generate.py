@@ -43,10 +43,10 @@ def discrete_actions_from_logits(
     token_ids = jnp.argmax(sliced, axis=-1)  # (B, n)
     # detokenize via bin centers (reference :884-887 — uses vocab size minus
     # the pad_to_multiple padding, i.e. the extended tokenizer length)
-    bins = jnp.linspace(-1.0, 1.0, n_bins)
-    centers = (bins[:-1] + bins[1:]) / 2.0
-    disc = jnp.clip(tokenizer_len - token_ids - 1, 0, n_bins - 2)
-    return centers[disc].reshape(-1, num_actions_chunk, action_dim)
+    from vla_adapter_tpu.data.action_tokenizer import detokenize_bin_ids_jnp
+
+    acts = detokenize_bin_ids_jnp(token_ids, tokenizer_len, n_bins)
+    return acts.reshape(-1, num_actions_chunk, action_dim)
 
 
 def greedy_generate(

@@ -282,8 +282,14 @@ class Qwen2Decode(nn.Module):
 
       input_ids: (B, 1) new token ids; kv_cache: (k, v) each
       (L, B, max_len, Hkv, Dh) with roped k; pos: scalar write/attend
-      position (uniform across the batch — pad prompts to a common length
-      for batched decode). Returns (logits (B, vocab), new kv_cache).
+      position. The attention mask is position <= pos with NO per-sequence
+      validity, so every cached slot below pos must be a REAL token: batched
+      decode requires a uniform TRUE prompt length (models/generate.py
+      greedy_generate_cached enforces this — prefill runs with all-valid).
+      Ragged prompts must use the uncached greedy_generate, which masks per
+      sequence; right-padding ragged prompts into this path would bake the
+      pads into the cache as attended context. Returns (logits (B, vocab),
+      new kv_cache).
     """
 
     cfg: Qwen2Config

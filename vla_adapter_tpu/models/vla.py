@@ -112,6 +112,7 @@ class VLAModel(nn.Module):
         train: bool = False,
         return_hidden_states: bool = False,
         compute_logits: bool = False,
+        compute_actions: bool = True,
     ) -> Dict[str, Any]:
         cfg, rt = self.cfg, self.rt
         consts = cfg.constants
@@ -166,48 +167,64 @@ class VLAModel(nn.Module):
             [text_valid[:, :1], patch_valid, text_valid[:, 1:]], axis=1
         )
 
+        # compute_actions=False (token-objective training): skip the
+        # 25-layer hidden-state stack and the 24-block bridge head entirely
+        # — their outputs would be discarded — and, for tied-embedding
+        # LLMs, compute logits only at text positions (the ~512 patch
+        # positions' logits are sliced away anyway; at the 151936 vocab
+        # that is ~80% of the lm-head matmul).
+        tied = getattr(cfg.llm, "tie_word_embeddings", False)
+        fast_logits = compute_logits and not compute_actions and tied
         llm_out = llm(
             inputs_embeds=mm_embeds,
             valid=mm_valid,
             causal=not cfg.bidirectional_attention,
-            output_hidden_states=True,
-            compute_logits=compute_logits,
+            output_hidden_states=compute_actions,
+            compute_logits=compute_logits and not fast_logits,
         )
-        hs = llm_out["hidden_states"]  # (B, L+1, S_mm, D)
 
-        # --- extraction (see module docstring for the off-by-one) ---
-        task_states = hs[:, :, :num_patches]
-        action_start = num_patches + prompt_len - 1  # (B,)
-        gather_idx = action_start[:, None] + jnp.arange(num_q)[None, :]  # (B, Q)
-        action_states = jnp.take_along_axis(
-            hs, gather_idx[:, None, :, None], axis=2
-        )  # (B, L+1, Q, D)
-        head_input = jnp.concatenate([task_states, action_states], axis=2)
+        out: Dict[str, Any] = {}
+        if compute_actions:
+            hs = llm_out["hidden_states"]  # (B, L+1, S_mm, D)
 
-        # --- head ---
-        proprio_features = None
-        if cfg.use_proprio and proprio is not None:
-            proprio_features = ProprioProjector(
-                cfg.llm.hidden_size, rt=rt, name="proprio_projector"
-            )(proprio)[:, None, :]
+            # --- extraction (see module docstring for the off-by-one) ---
+            task_states = hs[:, :, :num_patches]
+            action_start = num_patches + prompt_len - 1  # (B,)
+            gather_idx = action_start[:, None] + jnp.arange(num_q)[None, :]
+            action_states = jnp.take_along_axis(
+                hs, gather_idx[:, None, :, None], axis=2
+            )  # (B, L+1, Q, D)
+            head_input = jnp.concatenate([task_states, action_states], axis=2)
 
-        actions = L1RegressionActionHead(
-            cfg.head,
-            action_dim=consts.action_dim,
-            num_actions_chunk=consts.num_actions_chunk,
-            num_task_tokens=num_patches,
-            rt=rt,
-            name="action_head",
-        )(head_input, proprio_features, train=train)
+            # --- head ---
+            proprio_features = None
+            if cfg.use_proprio and proprio is not None:
+                proprio_features = ProprioProjector(
+                    cfg.llm.hidden_size, rt=rt, name="proprio_projector"
+                )(proprio)[:, None, :]
 
-        out: Dict[str, Any] = {"actions": actions}
-        if return_hidden_states:
-            out["hidden_states"] = head_input
+            out["actions"] = L1RegressionActionHead(
+                cfg.head,
+                action_dim=consts.action_dim,
+                num_actions_chunk=consts.num_actions_chunk,
+                num_task_tokens=num_patches,
+                rt=rt,
+                name="action_head",
+            )(head_input, proprio_features, train=train)
+            if return_hidden_states:
+                out["hidden_states"] = head_input
         if compute_logits:
             # text-region logits in original text coordinates for the
             # discrete-token objective: [tok0 logits | text 1: logits]
-            logits = llm_out["logits"]
-            out["logits"] = jnp.concatenate(
-                [logits[:, :1], logits[:, num_patches + 1 :]], axis=1
-            )
+            if fast_logits:
+                last = llm_out["last_hidden_state"]
+                text_last = jnp.concatenate(
+                    [last[:, :1], last[:, num_patches + 1 :]], axis=1
+                )
+                out["logits"] = llm.embed.attend(text_last)
+            else:
+                logits = llm_out["logits"]
+                out["logits"] = jnp.concatenate(
+                    [logits[:, :1], logits[:, num_patches + 1 :]], axis=1
+                )
         return out

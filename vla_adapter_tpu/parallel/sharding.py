@@ -141,12 +141,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, BATCH_SPEC)
 
 
-def shard_batch(batch, mesh: Mesh):
-    sh = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
+    """Shard the EXAMPLE axis over (data, fsdp).
 
+    batch_axis: 0 for plain batches (B, ...); 1 for gradient-accumulation
+    batches (A, B/A, ...) — axis 0 there is the microbatch-STEP axis that
+    lax.scan iterates on the device, and sharding it would either fail the
+    divisibility check (A < devices) or silently replicate every example
+    on every device (no data parallelism, full-microbatch memory)."""
     def one(x):
-        spec = P(*(BATCH_SPEC + (None,) * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = [None] * np.ndim(x)
+        spec[batch_axis] = BATCH_SPEC[0]
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(one, batch)
 

@@ -125,7 +125,8 @@ def finetune(
     if val_iter is not None:
         from vla_adapter_tpu.train.step import make_eval_step
 
-        eval_fn = jax.jit(make_eval_step(model))
+        eval_fn = jax.jit(make_eval_step(
+            model, objective=getattr(cfg, "objective", "l1")))
 
     def run_validation(step_idx: int, cur_state: TrainState):
         """Averaged eval metrics over val_batches (reference
@@ -148,17 +149,11 @@ def finetune(
     rng = jax.random.key(cfg.seed + 1)
     start_step = int(jax.device_get(state.step))
     batch = first
-    try:
-        state = _train(cfg, state, step_fn, metrics, data_iter, batch, rng,
-                       start_step, max_steps, mesh, run_dir,
-                       dataset_statistics, run_validation if eval_fn else None)
-    except KeyboardInterrupt:
-        # preemption-safe: persist progress before exiting (the reference
-        # loses up to save_freq steps on interruption)
-        print("interrupted — saving checkpoint before exit", flush=True)
-        save_checkpoint(run_dir, state, dataset_statistics,
-                        latest_only=cfg.save_latest_checkpoint_only)
-        raise
+    # preemption safety lives inside _train, where the loop-local state is
+    # the latest completed step (the reference loses up to save_freq steps)
+    state = _train(cfg, state, step_fn, metrics, data_iter, batch, rng,
+                   start_step, max_steps, mesh, run_dir,
+                   dataset_statistics, run_validation if eval_fn else None)
 
     save_checkpoint(run_dir, state, dataset_statistics,
                     latest_only=cfg.save_latest_checkpoint_only)
@@ -182,24 +177,43 @@ def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
             print(f"step {idx}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sm.items()), flush=True)
 
-    for step_idx in range(start_step, max_steps):
-        device_batch = {k: v for k, v in batch.items() if k != "dataset_name"}
-        device_batch = shard_batch(
-            jax.tree.map(jnp.asarray, device_batch), mesh
-        )
-        state, m = step_fn(state, device_batch,
-                           jax.random.fold_in(rng, step_idx))
-        if pending is not None:
-            commit(*pending)
-        pending = (step_idx, m)
-        if step_idx > 0 and step_idx % cfg.save_freq == 0:
+    # grad-accumulation batches are (A, B/A, ...): the example axis is 1
+    batch_axis = 1 if cfg.grad_accumulation_steps > 1 else 0
+    try:
+        for step_idx in range(start_step, max_steps):
+            device_batch = {k: v for k, v in batch.items()
+                            if k != "dataset_name"}
+            device_batch = shard_batch(
+                jax.tree.map(jnp.asarray, device_batch), mesh,
+                batch_axis=batch_axis,
+            )
+            state, m = step_fn(state, device_batch,
+                               jax.random.fold_in(rng, step_idx))
+            if pending is not None:
+                commit(*pending)
+            pending = (step_idx, m)
+            if step_idx > 0 and step_idx % cfg.save_freq == 0:
+                save_checkpoint(run_dir, state, dataset_statistics,
+                                latest_only=cfg.save_latest_checkpoint_only)
+            if run_validation is not None and step_idx > 0 and (
+                    step_idx % cfg.val_freq == 0):
+                run_validation(step_idx, state)
+            if step_idx + 1 < max_steps:
+                batch = next(data_iter)  # host work overlaps the device step
+    except KeyboardInterrupt:
+        # Preemption-safe save INSIDE the loop scope: `state` here is the
+        # latest completed step's state (the donated pre-training state the
+        # caller holds would be deleted buffers). If the interrupt landed
+        # mid-step the buffers may already be donated — warn, don't mask
+        # the interrupt with a second exception.
+        print("interrupted — saving checkpoint before exit", flush=True)
+        try:
             save_checkpoint(run_dir, state, dataset_statistics,
                             latest_only=cfg.save_latest_checkpoint_only)
-        if run_validation is not None and step_idx > 0 and (
-                step_idx % cfg.val_freq == 0):
-            run_validation(step_idx, state)
-        if step_idx + 1 < max_steps:
-            batch = next(data_iter)  # host work overlaps the device step
+        except Exception as e:  # noqa: BLE001
+            print(f"interrupt checkpoint failed ({e}); latest saved "
+                  "checkpoint stands", flush=True)
+        raise
     if pending is not None:
         commit(*pending)
     return state

@@ -60,14 +60,12 @@ def token_prediction_loss(logits, labels, valid, action_tokenizer_len,
     def acc(m):
         return jnp.sum((preds == targets) & m) / jnp.maximum(jnp.sum(m), 1)
 
-    # detokenized L1 (bin centers; reference compute_actions_l1_loss)
-    n_bins = 256
-    bins = jnp.linspace(-1.0, 1.0, n_bins)
-    centers = (bins[:-1] + bins[1:]) / 2.0
+    # detokenized L1 (bin centers; reference compute_actions_l1_loss) —
+    # shared inverse with the decode path (data/action_tokenizer.py)
+    from vla_adapter_tpu.data.action_tokenizer import detokenize_bin_ids_jnp
 
     def detok(ids):
-        disc = jnp.clip(action_tokenizer_len - ids - 1, 0, n_bins - 2)
-        return centers[disc]
+        return detokenize_bin_ids_jnp(ids, action_tokenizer_len)
 
     def l1(m):
         d = jnp.abs(detok(preds) - detok(targets))
@@ -99,9 +97,12 @@ def l1_action_loss(pred: jnp.ndarray, gt: jnp.ndarray):
 
 
 def make_loss_fn(model: VLAModel, objective: str = "l1",
-                 action_tokenizer_len: int = 151921):
+                 action_tokenizer_len: int = 151921, train: bool = True):
     """objective: 'l1' (continuous regression, the VLA-Adapter recipe) or
-    'token' (discrete next-token CE, the legacy OpenVLA objective)."""
+    'token' (discrete next-token CE, the legacy OpenVLA objective).
+    train=False for validation: no head-latent noise injection (the
+    reference's model.eval() path — noisy val metrics would be biased
+    high and nondeterministic)."""
 
     def loss_fn(trainable, frozen, batch, rng):
         params = merge_trees(trainable, frozen)
@@ -112,9 +113,12 @@ def make_loss_fn(model: VLAModel, objective: str = "l1",
             text_valid=batch["text_valid"],
             pixel_values=batch["pixel_values"],
             proprio=batch.get("proprio"),
-            train=True,
+            train=train,
             compute_logits=(objective == "token"),
-            rngs={"noise": rng},
+            # token objective: the head/hidden-state outputs would be
+            # discarded — skip computing them (models/vla.py)
+            compute_actions=(objective != "token"),
+            rngs={"noise": rng} if train else {},
         )
         if objective == "token":
             return token_prediction_loss(
@@ -182,9 +186,10 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
     return step
 
 
-def make_eval_step(model: VLAModel):
-    """Validation forward (reference run_validation, finetune.py:605-686)."""
-    loss_fn = make_loss_fn(model)
+def make_eval_step(model: VLAModel, objective: str = "l1"):
+    """Validation forward (reference run_validation, finetune.py:605-686):
+    the TRAINED objective's metrics, with train-time noise off."""
+    loss_fn = make_loss_fn(model, objective=objective, train=False)
 
     def step(state: TrainState, batch, rng):
         _, metrics = loss_fn(state.trainable, state.frozen, batch, rng)
