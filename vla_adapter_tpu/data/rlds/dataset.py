@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 from functools import partial
+from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -217,6 +218,23 @@ def make_dataset_from_rlds(
     ds = traj_dataset.map(restructure, num_parallel_calls)
 
     if dataset_statistics is None:
+        if statistics_save_path is None and data_dir is not None:
+            # sha256-keyed default cache (reference data_utils.py:231-247):
+            # key on everything that changes the computed statistics —
+            # the standardize fn identity and the schema key maps
+            from vla_adapter_tpu.data.normalization import statistics_cache_key
+
+            spec = repr((
+                data_dir, train,
+                getattr(standardize_fn, "__name__", repr(standardize_fn)),
+                sorted(image_obs_keys.items()), list(state_obs_keys),
+            ))
+            cache_dir = Path.home() / ".cache" / "vla_adapter_tpu"
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            statistics_save_path = str(
+                cache_dir
+                / f"dataset_statistics_{statistics_cache_key(name, spec)}.json"
+            )
         dataset_statistics = compute_dataset_statistics(
             ds, save_path=statistics_save_path
         )

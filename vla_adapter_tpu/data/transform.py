@@ -72,7 +72,11 @@ class VLABatchTransform:
     action_tokenizer: ActionTokenizer
     image_processor: ImageProcessor = field(default_factory=ImageProcessor)
     use_wrist_image: bool = True
-    predict_stop_token: bool = True
+    # NOTE: no predict_stop_token knob — training never constructs a STOP
+    # token in this path (the minivlm branch the recipe uses, reference
+    # datasets.py:54-89), and inference always appends one (inference_ids,
+    # matching modeling_prismatic.py:748-769). A config flag here would be
+    # dead code pretending otherwise.
     seed: int = 0
 
     def __post_init__(self):
@@ -104,7 +108,11 @@ class VLABatchTransform:
         action_ids = pad_action_ids(flat_action_ids, num_q, self._rng)
 
         p = len(prompt_ids)
-        assert p + num_q <= t_max, (p, num_q, t_max)
+        # +1 keeps trainable prompts a subset of servable ones: inference
+        # appends a STOP token after the query block (inference_ids), so a
+        # prompt that only fits without it would train fine and then crash
+        # at serving time
+        assert p + num_q + 1 <= t_max, (p, num_q, t_max)
         input_ids = np.zeros((t_max,), np.int32)
         input_ids[:p] = prompt_ids
         input_ids[p : p + num_q] = action_ids

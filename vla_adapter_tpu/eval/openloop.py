@@ -28,7 +28,8 @@ Policy = Callable[..., np.ndarray]  # (*obs_args) -> (chunk, action_dim)
 class ActionQueueController:
     def __init__(self, policy: Policy, num_open_loop_steps: int = 8):
         self.policy = policy
-        self.queue: deque = deque(maxlen=num_open_loop_steps)
+        self.num_open_loop_steps = num_open_loop_steps
+        self.queue: deque = deque()
 
     def reset(self) -> None:
         self.queue.clear()
@@ -36,7 +37,12 @@ class ActionQueueController:
     def step(self, *obs_args, **obs_kwargs) -> np.ndarray:
         if len(self.queue) == 0:
             chunk = np.asarray(self.policy(*obs_args, **obs_kwargs))
-            self.queue.extend(list(chunk))
+            # execute the FIRST num_open_loop_steps actions of the chunk
+            # (reference get_vla_action returns actions[:num_open_loop_steps],
+            # openvla_utils.py:825). A maxlen-bounded deque would instead
+            # EVICT the head and execute the chunk's tail at the wrong
+            # timesteps whenever num_open_loop_steps < chunk length.
+            self.queue.extend(list(chunk)[: self.num_open_loop_steps])
         return self.queue.popleft()
 
 

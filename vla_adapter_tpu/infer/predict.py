@@ -204,10 +204,11 @@ class Predictor:
             None if proprio is None else jnp.asarray(proprio),
         )
         actions = np.asarray(actions, np.float32)
-        return np.stack([
-            unnormalize(a, stats["action"], consts.normalization_type)
-            for a in actions
-        ])
+        # one vectorized unnormalize: the affine bounds broadcast over
+        # (B, chunk, dim) — a per-row Python loop would redo the stats
+        # asarray conversions B times on the serving hot path
+        return unnormalize(actions, stats["action"],
+                           consts.normalization_type)
 
     def predict_action_batch(
         self,
