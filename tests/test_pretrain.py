@@ -75,8 +75,10 @@ def test_align_dataset_structure(datasets):
     assert ex["input_ids"].shape == (64,)
     n = int(ex["text_valid"].sum())
     assert ex["input_ids"][n - 1] == 5  # eos appended
-    # align: loss on the whole caption (no prompt masking)
-    assert (ex["labels"][:n] == ex["input_ids"][:n]).all()
+    # align: token 0 is the patch-splice anchor and is IGNOREd (reference
+    # datasets.py:84-85); loss lands on the rest of the caption + eos
+    assert ex["labels"][0] == IGNORE_INDEX
+    assert (ex["labels"][1:n] == ex["input_ids"][1:n]).all()
     assert (ex["labels"][n:] == IGNORE_INDEX).all()
     assert ex["pixel_values"].shape == (1, 28, 28, 3)
 

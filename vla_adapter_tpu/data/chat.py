@@ -80,8 +80,11 @@ class AlignDataset(_ChatDatasetBase):
         caption = record["conversations"][-1]["value"].replace("<image>", "").strip()
         ids = list(self.tokenize(caption)) + [self.eos_token_id]
         labels = list(ids)
-        # loss on the caption+eos; nothing is masked beyond padding — the
-        # align stage has no prompt (reference datasets.py:65-85)
+        # token 0 is the patch-splice anchor (the VLM inserts the image
+        # after input position 0) and cannot be predicted image-aware —
+        # the reference IGNOREs it (datasets.py:84-85 labels[0] =
+        # IGNORE_INDEX); loss lands on the rest of caption+eos
+        labels[0] = IGNORE_INDEX
         ex = self._pack(ids, labels)
         px = self._pixels(record)
         if px is not None:

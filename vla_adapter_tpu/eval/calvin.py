@@ -125,6 +125,20 @@ def eval_calvin(predictor, calvin_env_and_assets, cfg: CalvinEvalConfig
     policy = CalvinPolicy(predictor, cfg)
     results = evaluate_policy(policy, env, task_oracle, val_annotations,
                               shard, cfg)
+    if n > 1:
+        # gather every process's chain depths so each reports the GLOBAL
+        # 1000-chain metric (reference gather_for_metrics,
+        # evaluate_calvin.py:877-914). Shards may be ragged by one: pad
+        # with -1 and drop pads after the allgather.
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        width = (len(eval_sequences) + n - 1) // n
+        padded = np.full((width,), -1, np.int32)
+        padded[: len(results)] = results
+        gathered = np.asarray(
+            multihost_utils.process_allgather(padded)).reshape(-1)
+        results = [int(d) for d in gathered if d >= 0]
     sr = count_success(results)
     return {
         "avg_seq_len": avg_seq_len(results),

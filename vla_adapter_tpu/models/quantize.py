@@ -11,18 +11,21 @@ Usage:
     model = VLAModel(cfg, Runtime(weights_int8=True, ...))
     model.apply({"params": q_params}, ...)
 
-Embeddings, norms, biases, LayerScale gammas, and the action head's tiny
-params stay in float (a few hundred MB; quality-critical and cheap).
+Embeddings, norms, biases, LayerScale gammas, and conv patch embeds stay
+float; EVERY Dense/BatchedDense kernel (the action head's included) is
+quantized — Runtime(weights_int8=True) makes each Dense declare
+kernel_q/kernel_scale params, so partial quantization is not expressible
+(a skipped subtree would fail at apply with missing params). Precision for
+small quality-critical matmuls is protected on the ACTIVATION side
+instead: act_int8_min_dim keeps them on the bf16-upcast path under w8a8.
+Validate with quantization_report / forward_error_report before deploying.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
-
-# Subtrees excluded from quantization (quality-sensitive or not Dense).
-DEFAULT_SKIP_PREFIXES: Tuple[str, ...] = ()
 
 
 def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -38,18 +41,12 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, np.squeeze(scale, axis=-2)
 
 
-def quantize_params(
-    params: Dict[str, Any],
-    skip_prefixes: Sequence[str] = DEFAULT_SKIP_PREFIXES,
-) -> Dict[str, Any]:
+def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Float param tree (lora-free) -> int8-serving tree matching
     Runtime(weights_int8=True) param shapes."""
 
     def rec(node, path):
         if not isinstance(node, dict):
-            return node
-        joined = "/".join(path)
-        if any(joined.startswith(p) for p in skip_prefixes):
             return node
         if "kernel" in node and not isinstance(node["kernel"], dict):
             kernel = np.asarray(node["kernel"])

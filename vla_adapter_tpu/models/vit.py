@@ -69,11 +69,15 @@ class ViTMLP(nn.Module):
 
 class LayerScale(nn.Module):
     rt: Runtime
+    # timm/DINOv2 init value (e.g. 1e-5): near-identity residual branches
+    # at from-scratch init. Loaded checkpoints overwrite it either way.
+    init_value: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
         gamma = self.param(
-            "gamma", nn.initializers.ones, (x.shape[-1],), self.rt.param_dtype
+            "gamma", nn.initializers.constant(self.init_value),
+            (x.shape[-1],), self.rt.param_dtype
         )
         return x * gamma.astype(self.rt.dtype)
 
@@ -94,18 +98,25 @@ class ViTBlock(nn.Module):
             LayerNorm(cfg.layernorm_eps, rt=rt, name="norm1")(x)
         )
         if cfg.layer_scale_init is not None:
-            h = LayerScale(rt, name="ls1")(h)
+            h = LayerScale(rt, cfg.layer_scale_init, name="ls1")(h)
         x = x + h
         if cfg.film_llm_dim is not None:
             assert lang is not None, "FiLM block needs a language embedding"
-            gamma = Dense(cfg.hidden_size, rt=rt, name="film_scale")(lang)
-            beta = Dense(cfg.hidden_size, rt=rt, name="film_shift")(lang)
+            # zero-init projections (bias is zero too): FiLM starts as the
+            # identity so finetuning perturbs the pretrained features from
+            # zero, as the docstring promises (lecun_normal here would
+            # apply an O(1) random modulation in every block at step 0)
+            zeros = nn.initializers.zeros
+            gamma = Dense(cfg.hidden_size, rt=rt, kernel_init=zeros,
+                          name="film_scale")(lang)
+            beta = Dense(cfg.hidden_size, rt=rt, kernel_init=zeros,
+                         name="film_shift")(lang)
             x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
         h = ViTMLP(cfg, rt, name="mlp")(
             LayerNorm(cfg.layernorm_eps, rt=rt, name="norm2")(x)
         )
         if cfg.layer_scale_init is not None:
-            h = LayerScale(rt, name="ls2")(h)
+            h = LayerScale(rt, cfg.layer_scale_init, name="ls2")(h)
         return x + h
 
 

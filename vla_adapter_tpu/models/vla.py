@@ -214,17 +214,16 @@ class VLAModel(nn.Module):
             if return_hidden_states:
                 out["hidden_states"] = head_input
         if compute_logits:
-            # text-region logits in original text coordinates for the
-            # discrete-token objective: [tok0 logits | text 1: logits]
+            # text-region logits in text coordinates for the discrete-token
+            # objective. Text position 0 takes the LAST PATCH position's
+            # logit (multimodal index num_patches) so the HF shift predicts
+            # the first post-image token from an image-aware position —
+            # matching the reference's full-sequence shift-CE (see
+            # models/vlm.py for the derivation). Positions >= 1 are the
+            # text1: region either way.
             if fast_logits:
                 last = llm_out["last_hidden_state"]
-                text_last = jnp.concatenate(
-                    [last[:, :1], last[:, num_patches + 1 :]], axis=1
-                )
-                out["logits"] = llm.embed.attend(text_last)
+                out["logits"] = llm.embed.attend(last[:, num_patches:])
             else:
-                logits = llm_out["logits"]
-                out["logits"] = jnp.concatenate(
-                    [logits[:, :1], logits[:, num_patches + 1 :]], axis=1
-                )
+                out["logits"] = llm_out["logits"][:, num_patches:]
         return out

@@ -81,9 +81,15 @@ class PrismaticVLM(nn.Module):
         if "logits" in out:
             logits = out["logits"]
             if num_patches:
-                logits = jnp.concatenate(
-                    [logits[:, :1], logits[:, num_patches + 1 :]], axis=1
-                )
+                # back to text coordinates for the HF-shifted CE. Text
+                # position 0's logit must be the LAST PATCH position's
+                # (multimodal index num_patches): under the shift it
+                # predicts the first post-image text token, exactly like
+                # the reference's full-multimodal-sequence shift-CE where
+                # that token is predicted from the final patch. Keeping
+                # multimodal position 0 here instead would train the first
+                # supervised token image-blind.
+                logits = logits[:, num_patches:]
             result["logits"] = logits
             if labels is not None:
                 result["loss"] = multimodal_ce_loss(logits, labels, text_valid)

@@ -55,7 +55,12 @@ def save_checkpoint(
     the reference's dist.barrier() around checkpoint I/O
     (finetune.py:544,575,601)."""
     step = int(jax.device_get(state.step))  # step is replicated — safe
-    out = checkpoint_dir(run_dir, step, latest_only)
+    final = checkpoint_dir(run_dir, step, latest_only)
+    # write into a staging dir and swap at the END: deleting the previous
+    # `latest` before the (seconds-to-minutes) orbax write would leave a
+    # preempted run with NO valid checkpoint; meta.json is written last so
+    # find_resume_checkpoint never sees a half-written dir either way
+    out = final.with_name(final.name + ".tmp") if latest_only else final
     if jax.process_index() == 0:
         if out.exists():
             shutil.rmtree(out)
@@ -72,8 +77,12 @@ def save_checkpoint(
             (out / "dataset_statistics.json").write_text(
                 json.dumps(dataset_statistics, indent=2)
             )
+        if latest_only:
+            if final.exists():
+                shutil.rmtree(final)
+            out.rename(final)
     _sync("ckpt_written")
-    return out
+    return final
 
 
 def _restore_args(target):

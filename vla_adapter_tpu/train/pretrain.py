@@ -40,6 +40,13 @@ class PretrainConfig:
     tokenizer_dir: Optional[str] = None
     max_text_tokens: int = 512
     seed: int = 7
+    # Pretrained backbone weights to start from (orbax params dir, e.g. a
+    # weights.merge output, or an HF-layout checkpoint dir). The align
+    # stage is meaningless from random towers — the projector would be
+    # aligned to noise (reference scripts/pretrain.py loads pretrained
+    # ViT+LLM unconditionally).
+    init_from: Optional[str] = None
+    out_dir: str = "runs/pretrain"
 
 
 def make_pretrain_step(model: PrismaticVLM, tx):
@@ -68,12 +75,14 @@ def pretrain(
     data_iter: Iterator[Dict[str, np.ndarray]],
     max_steps: int,
     rt: Optional[Runtime] = None,
+    init_params: Optional[Dict[str, Any]] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     rt = rt or Runtime(dtype=jnp.bfloat16, param_dtype=jnp.float32)
     model = PrismaticVLM(cfg.model, rt)
     from vla_adapter_tpu.train.optim import make_optimizer
 
-    tx = make_optimizer(cfg.optim, warmup_steps=0)
+    # same warmup recipe as the finetune loop: warmup_fraction * max_steps
+    tx = make_optimizer(cfg.optim)
     batch = jax.tree.map(jnp.asarray, next(data_iter))
     params = model.init(
         jax.random.key(cfg.seed),
@@ -82,6 +91,15 @@ def pretrain(
         pixel_values=batch.get("pixel_values"),
         labels=batch["labels"],
     )["params"]
+    if init_params is not None:
+        # graft pretrained subtrees over the fresh init by top-level module
+        # (vision_backbone / projector / language_model ...): extra source
+        # keys (e.g. a VLA checkpoint's action head) are ignored, absent
+        # ones stay at their init (the projector in the align stage)
+        grafted = [k for k in params if k in init_params]
+        params = {k: (init_params[k] if k in init_params else v)
+                  for k, v in params.items()}
+        log.info("initialized %s from pretrained weights", grafted)
     trainable, frozen = split_by_stage(params, cfg.stage)
     from vla_adapter_tpu.train.optim import mask_updates
     from vla_adapter_tpu.train.stages import stage_update_mask
@@ -127,7 +145,32 @@ def main(argv=None) -> None:
             idx = rng.integers(0, len(ds), size=cfg.batch_size)
             yield collate([ds[int(i)] for i in idx])
 
-    pretrain(cfg, batches(), max_steps=cfg.optim.max_steps)
+    init_params = None
+    if cfg.init_from:
+        from pathlib import Path
+
+        if (Path(cfg.init_from) / "config.json").exists():
+            # HF-layout checkpoint dir (weights/export.py or reference) —
+            # backbone only: pretraining has no action head
+            from vla_adapter_tpu.weights.convert import vla_params_from_hf
+            from vla_adapter_tpu.weights.load import (
+                load_hf_backbone_state_dict,
+            )
+
+            init_params = vla_params_from_hf(
+                load_hf_backbone_state_dict(cfg.init_from), cfg.model)
+        else:  # orbax params dir (weights.merge / save_params output)
+            from vla_adapter_tpu.train.checkpoints import load_params
+
+            init_params = load_params(cfg.init_from)
+
+    params, metrics = pretrain(cfg, batches(), max_steps=cfg.optim.max_steps,
+                               init_params=init_params)
+
+    from vla_adapter_tpu.train.checkpoints import save_params
+
+    out = save_params(cfg.out_dir, params)
+    log.info("pretrained params saved to %s (final metrics: %s)", out, metrics)
 
 
 if __name__ == "__main__":
