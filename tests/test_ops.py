@@ -97,3 +97,30 @@ def test_pallas_kernel_gqa_multiblock():
         ).transpose(0, 2, 1, 3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_mask_builders_match_attention_masking():
+    """ops/masks.py is the executable spec; ops/attention.py masks by index
+    arithmetic. Tie them together so the two implementations cannot drift:
+    manual softmax-attention under build_attention_mask must equal
+    xla_attention's (valid, causal) masking."""
+    rng = np.random.default_rng(3)
+    B, S, H, D = 2, 12, 2, 8
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    valid = np.ones((B, S), np.int32)
+    valid[0, 9:] = 0
+
+    for mode, causal in (("causal", True), ("bidirectional", False)):
+        m = build_attention_mask(mode, jnp.asarray(valid), S)  # (B,1,S,S)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * D ** -0.5
+        s = jnp.where(m, s, -2.0e9)
+        p = jax.nn.softmax(s, axis=-1)
+        manual = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        got = xla_attention(q, k, v, jnp.asarray(valid), causal=causal,
+                            sm_scale=D ** -0.5)
+        mask_rows = valid.astype(bool)
+        np.testing.assert_allclose(
+            np.asarray(manual)[mask_rows], np.asarray(got)[mask_rows],
+            atol=1e-5, rtol=1e-5)

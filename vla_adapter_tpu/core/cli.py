@@ -19,8 +19,13 @@ T = TypeVar("T")
 
 
 def _convert(value: str, typ) -> Any:
+    import types
+
     origin = typing.get_origin(typ)
-    if origin is typing.Union:  # Optional[X]
+    # both spellings: Optional[X]/Union[X, None] AND PEP 604 `X | None`
+    # (types.UnionType) — the latter would otherwise fall through every
+    # branch and store the raw CLI string
+    if origin is typing.Union or origin is types.UnionType:
         args = [a for a in typing.get_args(typ) if a is not type(None)]
         if value.lower() in ("none", "null"):
             return None

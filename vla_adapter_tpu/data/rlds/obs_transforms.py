@@ -53,7 +53,11 @@ def _augment_one(image: tf.Tensor, seed: tf.Tensor, **kwargs) -> tf.Tensor:
     image = tf.cast(image, tf.float32) / 255.0
     shape = tf.shape(image)
     for i, op in enumerate(kwargs["augment_order"]):
-        op_seed = tf.cast(seed, tf.int32) + i
+        # stride the op index: per-image offsets are +1/+2 (augment() below)
+        # and a bare +i would collide across (image, op) pairs with equal
+        # sums (wrist crop == primary brightness seed, correlating draws
+        # across cameras for the whole run)
+        op_seed = tf.cast(seed, tf.int32) + 1000 * (i + 1)
         if op == "random_resized_crop":
             cfg = kwargs["random_resized_crop"]
             scale = tf.random.stateless_uniform(

@@ -48,11 +48,18 @@ def build_calvin_assets(dataset_path: str, num_sequences: int):
 
     env = make_calvin_env(dataset_path)
     raw_sequences = get_sequences(num_sequences)
-    eval_sequences = [
-        (get_env_state_for_initial_condition(initial)[0]
-         if isinstance(initial, dict) else initial, seq)
-        for initial, seq in raw_sequences
-    ]
+
+    def to_state(initial):
+        if not isinstance(initial, dict):
+            return initial  # already a {'robot_obs','scene_obs'} state
+        # reference evaluate_calvin.py:251: BOTH tuple elements matter —
+        # robot_obs AND scene_obs (object/drawer/light state); dropping
+        # scene_obs cannot reproduce the evaluation initial conditions
+        robot_obs, scene_obs = get_env_state_for_initial_condition(initial)
+        return {"robot_obs": robot_obs, "scene_obs": scene_obs}
+
+    eval_sequences = [(to_state(initial), seq)
+                      for initial, seq in raw_sequences]
     return env, task_oracle, val_annotations, eval_sequences
 
 

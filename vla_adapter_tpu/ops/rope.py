@@ -48,18 +48,27 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                    layout: str = "bshd") -> jnp.ndarray:
     """Apply half-layout RoPE.
 
-    x: (..., S, H, D) or (..., S, D); cos/sin: (S, D). cos/sin are broadcast
-    over batch and head dims.
+    x: (B, S, H, D) for layout="bshd" (the model's layout), (S, H, D) for
+    "shd", (B, S, D) for "bsd"; cos/sin: (S, D). The layout is EXPLICIT —
+    a shape heuristic over 3D inputs silently rotated by the wrong axis
+    whenever the head count happened to equal the sequence length.
     """
-    if x.ndim == 4:  # (B, S, H, D)
+    if layout == "bshd":
+        assert x.ndim == 4, x.shape
         cos = cos[None, :, None, :]
         sin = sin[None, :, None, :]
-    elif x.ndim == 3:  # (S, H, D) or (B, S, D)
-        cos = cos[:, None, :] if x.shape[-2] != cos.shape[0] else cos
-        sin = sin[:, None, :] if x.shape[-2] != sin.shape[0] else sin
+    elif layout == "shd":
+        assert x.ndim == 3, x.shape
+        cos = cos[:, None, :]
+        sin = sin[:, None, :]
+    elif layout == "bsd":
+        assert x.ndim == 3, x.shape
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     return (x * cos + _rotate_half(x) * sin).astype(x.dtype)
 
 

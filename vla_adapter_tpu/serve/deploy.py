@@ -24,6 +24,10 @@ class DeployConfig:
     dynamic_batch: bool = True
     max_batch: int = 16
     max_wait_ms: float = 4.0
+    # Image-pipeline process pool size: concurrent requests preprocess on
+    # N cores instead of timeslicing the GIL (~2x measured end-to-end /act
+    # throughput at 16 clients). 0 = inline on request threads.
+    preprocess_workers: int = 4
 
 
 def main(argv=None) -> None:
@@ -39,6 +43,7 @@ def main(argv=None) -> None:
         predictor, host=cfg.host, port=cfg.port,
         dynamic_batch=cfg.dynamic_batch, max_batch=cfg.max_batch,
         max_wait_ms=cfg.max_wait_ms,
+        preprocess_workers=cfg.preprocess_workers,
     ).serve_forever()
 
 

@@ -137,6 +137,7 @@ class ActionServer:
     def shutdown(self) -> None:
         if self._httpd is not None:
             self._httpd.shutdown()
+            self._httpd.server_close()  # release the listening socket fd
         if self.batcher is not None:
             self.batcher.close()
         pool = getattr(self.predictor, "_pixel_pool", None)
