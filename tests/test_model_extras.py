@@ -106,9 +106,21 @@ def test_film_conditioning_changes_features():
     flat = {jax.tree_util.keystr(p) for p, _ in
             jax.tree_util.tree_flatten_with_path(params)[0]}
     assert any("film_scale" in p for p in flat)
+    # zero-init FiLM: identity modulation at step 0 (reference
+    # film_vit_wrapper semantics) — language must NOT change features yet
     out_a = model.apply(params, imgs, lang_a)
     out_b = model.apply(params, imgs, lang_b)
-    assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-6
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    # ...but nonzero FiLM kernels DO modulate by the language embedding
+    perturbed = jax.tree_util.tree_map_with_path(
+        lambda p, v: (np.full(v.shape, 0.05, v.dtype)
+                      if "film_scale" in jax.tree_util.keystr(p)
+                      and "kernel" in jax.tree_util.keystr(p) else v),
+        params,
+    )
+    out_a2 = model.apply(perturbed, imgs, lang_a)
+    out_b2 = model.apply(perturbed, imgs, lang_b)
+    assert np.abs(np.asarray(out_a2) - np.asarray(out_b2)).max() > 1e-6
 
 
 # ---------------------------------------------------------------------------
