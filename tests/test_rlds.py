@@ -242,3 +242,39 @@ def test_full_pipeline_to_train_batches():
     assert batch["actions"].shape == (2, consts.num_actions_chunk, 7)
     assert batch["proprio"].shape == (2, 8)
     assert (batch["actions"][:, :, :6] <= 1).all()
+
+
+def test_episodic_dataset_reassembles_trajectories():
+    """EpisodicRLDSDataset yields whole episodes (lists of per-frame
+    transformed examples), split on the timestep-reset boundary."""
+    import dataclasses
+
+    from tests.test_train_step import TINY_CFG
+    from vla_adapter_tpu.data.action_tokenizer import ActionTokenizer
+    from vla_adapter_tpu.data.image_processing import image_processor_for
+    from vla_adapter_tpu.data.rlds_dataset import EpisodicRLDSDataset
+    from vla_adapter_tpu.data.tokenization import MockTokenizer
+    from vla_adapter_tpu.data.transform import VLABatchTransform
+
+    cfg = dataclasses.replace(TINY_CFG, max_text_tokens=96)
+    tok = MockTokenizer()
+    transform = VLABatchTransform(
+        cfg, lambda t: tok(t).input_ids, ActionTokenizer(len(tok)),
+        image_processor=image_processor_for(cfg.vision),
+    )
+    ds = EpisodicRLDSDataset(
+        cfg, transform,
+        [_libero_kwargs(traj_dataset=_synthetic_traj_dataset(
+            num_trajs=3, traj_len=10))],
+        train=False, image_aug=False,
+    )
+    episodes = list(iter(ds))
+    assert len(episodes) == 3
+    # fixture episodes are 10/11/12 frames; chunk_act_obs keeps
+    # traj_len - future_action_window_size (= chunk-1 = 7) frames — the
+    # reference drops tail frames whose chunks would be mostly padding
+    assert sorted(len(e) for e in episodes) == [3, 4, 5]
+    ex = episodes[0][0]
+    consts = cfg.constants
+    assert ex["actions"].shape == (consts.num_actions_chunk, 7)
+    assert ex["pixel_values"].shape == (2, 28, 28, 3)

@@ -138,7 +138,11 @@ class _InstPromptBuilder(PromptBuilder):
         return wrapped
 
     def get_prompt(self) -> str:
-        return self.prompt.removeprefix("<s>").rstrip()
+        # (no BOS stripping: unlike the reference builder, the prompt is
+        # accumulated WITHOUT a '<s>' prefix in the first place — the
+        # tokenizer adds special tokens; golden tests pin parity with the
+        # reference prompters' stripped output)
+        return self.prompt.rstrip()
 
 
 class Llama2ChatPromptBuilder(_InstPromptBuilder):

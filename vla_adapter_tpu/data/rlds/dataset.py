@@ -93,10 +93,21 @@ def compute_dataset_statistics(traj_ds: tf.data.Dataset,
 
     from vla_adapter_tpu.data.normalization import compute_statistics
 
+    # strip to action(+proprio) BEFORE the full pass: iterating the raw
+    # restructured dataset would deserialize every encoded camera image of
+    # every trajectory just to read two small float arrays
+    has_proprio = "proprio" in traj_ds.element_spec["observation"]
+
+    def slim(traj):
+        out = {"action": traj["action"], "observation": {}}
+        if has_proprio:
+            out["observation"]["proprio"] = traj["observation"]["proprio"]
+        return out
+
     actions, proprios, n_traj = [], [], 0
-    for traj in traj_ds.as_numpy_iterator():
+    for traj in traj_ds.map(slim, tf.data.AUTOTUNE).as_numpy_iterator():
         actions.append(np.asarray(traj["action"], np.float32))
-        if "proprio" in traj["observation"]:
+        if has_proprio:
             proprios.append(np.asarray(traj["observation"]["proprio"], np.float32))
         n_traj += 1
     acts = np.concatenate(actions, 0)
@@ -120,14 +131,22 @@ def compute_dataset_statistics(traj_ds: tf.data.Dataset,
 
 def load_tfds_trajectories(name: str, data_dir: str, train: bool,
                            shuffle: bool,
-                           num_parallel_reads=tf.data.AUTOTUNE):
-    """TFDS loader (file-level shuffle only, like the reference)."""
+                           num_parallel_reads=tf.data.AUTOTUNE,
+                           split: Optional[str] = None):
+    """TFDS loader (file-level shuffle only, like the reference).
+
+    split overrides the train/val selection; "all" unions every split the
+    builder has (the reference computes dataset STATISTICS over split
+    'all' so train and val normalize identically)."""
     import tensorflow_datasets as tfds
 
     builder = tfds.builder(name, data_dir=data_dir)
-    split = "train" if train else "val"
-    if split not in builder.info.splits:
-        split = "train[:95%]" if train else "train[95%:]"
+    if split == "all":
+        split = "+".join(sorted(builder.info.splits.keys()))
+    elif split is None:
+        split = "train" if train else "val"
+        if split not in builder.info.splits:
+            split = "train[:95%]" if train else "train[95%:]"
     return builder.as_dataset(
         split=split,
         shuffle_files=shuffle,
@@ -157,6 +176,7 @@ def make_dataset_from_rlds(
     absolute_action_mask: Optional[Sequence[bool]] = None,
     action_normalization_mask: Optional[Sequence[bool]] = None,
     num_parallel_calls=tf.data.AUTOTUNE,
+    num_parallel_reads=tf.data.AUTOTUNE,
     traj_dataset: Optional[tf.data.Dataset] = None,
     statistics_save_path: Optional[str] = None,
 ) -> Tuple[tf.data.Dataset, Dict]:
@@ -214,18 +234,24 @@ def make_dataset_from_rlds(
         return out
 
     if traj_dataset is None:
-        traj_dataset = load_tfds_trajectories(name, data_dir, train, shuffle)
+        from_tfds = True
+        traj_dataset = load_tfds_trajectories(name, data_dir, train, shuffle,
+                                              num_parallel_reads)
+    else:
+        from_tfds = False
     ds = traj_dataset.map(restructure, num_parallel_calls)
 
     if dataset_statistics is None:
         if statistics_save_path is None and data_dir is not None:
             # sha256-keyed default cache (reference data_utils.py:231-247):
             # key on everything that changes the computed statistics —
-            # the standardize fn identity and the schema key maps
+            # the standardize fn identity and the schema key maps. NOT the
+            # split: stats are computed over split "all" (below) so train
+            # and val share one normalization.
             from vla_adapter_tpu.data.normalization import statistics_cache_key
 
             spec = repr((
-                data_dir, train,
+                data_dir,
                 getattr(standardize_fn, "__name__", repr(standardize_fn)),
                 sorted(image_obs_keys.items()), list(state_obs_keys),
             ))
@@ -235,8 +261,16 @@ def make_dataset_from_rlds(
                 cache_dir
                 / f"dataset_statistics_{statistics_cache_key(name, spec)}.json"
             )
+        # statistics over the FULL dataset (reference get_dataset_statistics
+        # uses split='all'): computing them on the selected split would
+        # normalize train and val with different q01/q99
+        stats_src = ds
+        if from_tfds:
+            stats_src = load_tfds_trajectories(
+                name, data_dir, train, shuffle=False, split="all"
+            ).map(restructure, num_parallel_calls)
         dataset_statistics = compute_dataset_statistics(
-            ds, save_path=statistics_save_path
+            stats_src, save_path=statistics_save_path
         )
     elif isinstance(dataset_statistics, str):
         with tf.io.gfile.GFile(dataset_statistics, "r") as f:
@@ -350,8 +384,14 @@ def apply_frame_transforms(
                 if "language_instruction" in fr["task"]
                 else tf.constant(seed, tf.int32)
             )
+            # stateful per-visit randomness: a seed built ONLY from
+            # (timestep, instruction) is identical every epoch and across
+            # same-instruction episodes, collapsing augmentation into a
+            # fixed preprocessing. The uniform draw varies per visit
+            # (reproducible per run via tf.random.set_seed).
+            visit = tf.random.uniform([], maxval=2 ** 30, dtype=tf.int32)
             seed_t = tf.stack([
-                tf.cast(fr["observation"]["timestep"][0], tf.int32),
+                tf.cast(fr["observation"]["timestep"][0], tf.int32) + visit,
                 lang_seed,
             ])
             return _map_obs_window(
@@ -368,8 +408,12 @@ def _map_obs_window(frame, fn, resize_size):
     """Apply an obs-dict fn across the window axis (index 1 of each obs)."""
     obs = frame["observation"]
     window = tf.nest.flatten(obs)[0].shape[0]  # static window size
+    # a None here would silently process only slice 0 of a larger window
+    assert window is not None, (
+        "observation window size must be statically known — chunk with "
+        "apply_trajectory_transforms (chunk_act_obs) before frame transforms")
     slices = []
-    for w in range(window if window is not None else 1):
+    for w in range(window):
         one = tf.nest.map_structure(lambda x: x[w], obs)
         slices.append(fn(one))
     frame["observation"] = tf.nest.map_structure(
@@ -384,13 +428,22 @@ def make_single_dataset(
     train: bool,
     traj_transform_kwargs: dict = {},
     frame_transform_kwargs: dict = {},
+    shuffle_buffer_size: int = 0,
+    seed: int = 0,
 ) -> Tuple[tf.data.Dataset, Dict]:
-    """One dataset -> flat frame dataset (reference :424-453)."""
+    """One dataset -> flat frame dataset (reference :424-453).
+
+    shuffle_buffer_size > 0 (train): repeat + shuffle are applied HERE,
+    between flatten and the frame transforms, so the shuffle buffer holds
+    small encoded-image frames — shuffling after decode would buffer GBs
+    of dense pixel arrays (the interleaved path already orders it this way)."""
     ds, stats = make_dataset_from_rlds(train=train, **dataset_kwargs)
     ds = apply_trajectory_transforms(ds, train=train, **traj_transform_kwargs)
     ds = flatten_trajectories(ds)
     if not train:
         ds = ds.cache()  # validation epochs re-read from memory (reference :449)
+    if train and shuffle_buffer_size > 1:
+        ds = ds.repeat().shuffle(shuffle_buffer_size, seed=seed)
     ds = apply_frame_transforms(ds, train=train, **frame_transform_kwargs)
     return ds, stats
 
@@ -458,11 +511,16 @@ def make_interleaved_dataset(
     weights /= weights.sum()
 
     threads = allocate_threads(traj_transform_threads, weights)
+    read_threads = allocate_threads(traj_read_threads, weights)
 
     datasets = []
-    for kw, n_threads in zip(dataset_kwargs_list, threads):
+    for kw, n_threads, n_reads in zip(dataset_kwargs_list, threads,
+                                      read_threads):
         ds, _ = make_dataset_from_rlds(
             train=train, dataset_statistics=all_stats[kw["name"]],
+            num_parallel_reads=(int(n_reads)
+                                if n_reads != tf.data.AUTOTUNE
+                                else tf.data.AUTOTUNE),
             **{k: v for k, v in kw.items() if k != "dataset_statistics"},
         )
         ds = apply_trajectory_transforms(

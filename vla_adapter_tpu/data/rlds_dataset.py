@@ -77,15 +77,17 @@ class RLDSDataset:
         traj_kwargs = vla_traj_transform_kwargs(cfg)
         frame_kwargs = vla_frame_transform_kwargs(cfg, image_aug and train)
         if len(dataset_kwargs_list) == 1:
+            # repeat+shuffle happen INSIDE make_single_dataset, before the
+            # frame transforms — the buffer holds encoded frames, not GBs
+            # of decoded pixels
             self.dataset, stats = make_single_dataset(
                 dataset_kwargs_list[0], train=train,
                 traj_transform_kwargs=traj_kwargs,
                 frame_transform_kwargs=frame_kwargs,
+                shuffle_buffer_size=(min(shuffle_buffer_size, 10_000)
+                                     if train else 0),
+                seed=seed,
             )
-            if train:
-                self.dataset = self.dataset.repeat().shuffle(
-                    min(shuffle_buffer_size, 10_000), seed=seed
-                )
             self.dataset_statistics = {dataset_kwargs_list[0]["name"]: stats}
         else:
             self.dataset, self.dataset_statistics = make_interleaved_dataset(
@@ -110,20 +112,21 @@ class RLDSDataset:
 
 class EpisodicRLDSDataset(RLDSDataset):
     """Yields whole trajectories instead of frames (reference
-    datasets.py:239-261); used for evaluation-side replay."""
+    datasets.py:239-261); used for evaluation-side replay.
+
+    The underlying pipeline is the FLAT chunked-frame dataset (every frame
+    already carries its action chunk and decoded window) — episodes are
+    reassembled at iteration time on the timestep-reset boundary, which
+    flatten_trajectories preserves (frames stay in within-episode order;
+    build with train=False so no repeat/shuffle reorders them)."""
 
     def __iter__(self) -> Iterator[List[Dict]]:
-        for traj in self.dataset.as_numpy_iterator():
-            length = traj["action"].shape[0]
-            yield [
-                self.transform(
-                    {k: _index_tree(v, i) for k, v in traj.items()}
-                )
-                for i in range(length)
-            ]
-
-
-def _index_tree(x, i):
-    if isinstance(x, dict):
-        return {k: _index_tree(v, i) for k, v in x.items()}
-    return x[i]
+        episode: List[Dict] = []
+        for frame in self.dataset.as_numpy_iterator():
+            t = int(np.asarray(frame["observation"]["timestep"]).reshape(-1)[0])
+            if episode and t == 0:
+                yield episode
+                episode = []
+            episode.append(self.transform(frame))
+        if episode:
+            yield episode

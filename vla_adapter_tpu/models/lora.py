@@ -49,19 +49,33 @@ def strip_lora(params: Dict[str, Any]) -> Dict[str, Any]:
 
 def add_lora_params(params: Dict[str, Any], reference: Dict[str, Any]):
     """Graft freshly-initialized adapter leaves from `reference` (an
-    init with lora_rank>0) onto an adapter-free tree (checkpoint load)."""
+    init with lora_rank>0) onto an adapter-free tree (checkpoint load).
 
-    def rec(base, ref):
+    Strict: the ONLY structural difference allowed is the lora_a/lora_b
+    leaves. A checkpoint key absent from the reference init, or a non-LoRA
+    init leaf absent from the checkpoint, raises — silently dropping or
+    random-initializing weights would 'load' a corrupted model."""
+
+    def rec(base, ref, path=()):
         if not isinstance(ref, dict):
             return base
+        base = base or {}
+        extra = sorted(set(base) - set(ref))
+        if extra:
+            raise ValueError(
+                f"checkpoint keys {extra} at {'/'.join(path)!r} do not "
+                "exist in the model init — wrong config or stale checkpoint")
         out = {}
         for k, v in ref.items():
-            if k in ("lora_a", "lora_b") and k not in (base or {}):
+            if k in ("lora_a", "lora_b") and k not in base:
                 out[k] = v
             elif isinstance(v, dict):
-                out[k] = rec((base or {}).get(k), v)
+                out[k] = rec(base.get(k), v, path + (k,))
             else:
-                out[k] = (base or {}).get(k, v)
+                if k not in base:
+                    raise ValueError(
+                        f"checkpoint is missing {'/'.join(path + (k,))!r}")
+                out[k] = base[k]
         return out
 
     return rec(params, reference)
