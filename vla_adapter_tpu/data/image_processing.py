@@ -234,10 +234,17 @@ def _pool_worker_init(barrier) -> None:
     (TF alone is tens of seconds on a busy host), then rendezvous so NO
     worker accepts tasks before EVERY worker is warm — without the barrier
     one fast worker drains the warm-up tasks and cold ones meet real
-    traffic."""
+    traffic. A worker respawned by mp.Pool AFTER startup (original died to
+    OOM/segfault mid-task) must NOT wait for a rendezvous nobody else will
+    join: its wait() times out and breaks the barrier — treat that as
+    'startup already happened' and serve, instead of dying and looping the
+    pool through respawn forever."""
     _tf()
     if barrier is not None:
-        barrier.wait(timeout=300)
+        try:
+            barrier.wait(timeout=300)
+        except threading.BrokenBarrierError:
+            pass
 
 
 class PixelPool:

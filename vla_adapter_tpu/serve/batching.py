@@ -109,7 +109,17 @@ class DynamicBatcher:
     def close(self) -> None:
         self._closed = True
         self._q.put(None)
-        self._worker.join(timeout=5)
+        while True:
+            self._worker.join(timeout=5)
+            if not self._worker.is_alive():
+                break
+            # The in-flight forward outlasted the wait (a cold compile of a
+            # new bucket easily does). Fail the stranded requests now so
+            # their callers unblock, but re-enqueue a sentinel — draining
+            # may have consumed the one above, and without it the worker
+            # would block on q.get() forever once its forward finishes.
+            self._fail_pending(RuntimeError("DynamicBatcher closed"))
+            self._q.put(None)
         self._fail_pending(RuntimeError("DynamicBatcher closed"))
 
     def _fail_pending(self, err: BaseException) -> None:
