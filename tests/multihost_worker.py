@@ -59,7 +59,9 @@ def main() -> None:
     from vla_adapter_tpu.models.vla import VLAModel
     from vla_adapter_tpu.parallel.sharding import (
         create_mesh,
+        per_process_seed,
         shard_batch,
+        shard_batch_from_local,
         shard_params,
     )
     from vla_adapter_tpu.train.checkpoints import load_checkpoint, save_checkpoint
@@ -97,13 +99,32 @@ def main() -> None:
 
     mesh = create_mesh(data=2, fsdp=2)
 
-    # identical host batch on every process (same seed), then globally
-    # sharded — each device row sees a distinct slice of the global batch
-    batch_np = make_dummy_batch(cfg, 2 * nprocs * 2, np.random.default_rng(0))
-    batch_host = jax.tree.map(jnp.asarray, batch_np)
+    # PER-PROCESS data: each host builds ONLY its own rows from a
+    # process-folded seed (the reference's per-rank RLDS pipelines,
+    # finetune.py:952-994) and shard_batch_from_local assembles the global
+    # batch from the host-local shards — no host ever holds the full batch.
+    local_bs = 2 * 2  # 2 local devices x 2 examples/device
 
-    state = init_train_state(model, tx, batch_host, jax.random.key(0),
-                             lora_enabled=True)
+    def local_batch(p: int):
+        return make_dummy_batch(
+            cfg, local_bs, np.random.default_rng(per_process_seed(0, p)))
+
+    local_np = local_batch(pid)
+    # the hosts must be feeding DISTINCT data (per-process seeds diverge)
+    assert not np.array_equal(local_np["actions"], local_batch(1 - pid)["actions"])
+
+    # oracle: the concatenated global batch (reconstructible on any process
+    # because the per-process seed is deterministic in (seed, pid)), fed
+    # through the identical-global-batch path. Process p's devices own rows
+    # [p*local_bs, (p+1)*local_bs) under the contiguous mesh layout, so the
+    # two feeds must produce the SAME global array — verified below by
+    # bit-identical losses and updated parameters.
+    parts = [local_batch(p) for p in range(nprocs)]
+    global_np = {k: np.concatenate([pt[k] for pt in parts]) for k in parts[0]}
+
+    state = init_train_state(model, tx,
+                             jax.tree.map(jnp.asarray, local_np),
+                             jax.random.key(0), lora_enabled=True)
     state = TrainState(
         step=state.step,
         trainable=shard_params(state.trainable, mesh),
@@ -114,12 +135,26 @@ def main() -> None:
             is_leaf=lambda x: isinstance(x, dict),
         ),
     )
-    sbatch = shard_batch(batch_host, mesh)
+    sbatch = shard_batch_from_local(local_np, mesh)
+    sbatch_oracle = shard_batch(jax.tree.map(jnp.asarray, global_np), mesh)
 
     step = jax.jit(make_train_step(model, tx, tcfg))
+    # the per-process feed and the full-global-batch feed must be the SAME
+    # computation: bit-identical loss AND updated trainables (catches
+    # misplaced or duplicated rows — a wrong assembly changes the mean
+    # gradient even though the loss is permutation-invariant)
+    state_o, metrics_o = step(state, sbatch_oracle, jax.random.key(1))
     state, metrics = step(state, sbatch, jax.random.key(1))
     loss1 = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss1), loss1
+    assert loss1 == float(jax.device_get(metrics_o["loss"]))
+    for a, b in zip(jax.tree.leaves(state.trainable),
+                    jax.tree.leaves(state_o.trainable)):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a.addressable_shards[0].data)),
+            np.asarray(jax.device_get(b.addressable_shards[0].data)),
+        )
+    del state_o
 
     # orbax save of the cross-process-sharded state, restore, same loss
     ckpt = save_checkpoint(tmpdir, state, latest_only=True)

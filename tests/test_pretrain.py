@@ -230,3 +230,92 @@ def test_last_layer_finetune_updates_only_last_layer():
         if np.abs(new_leaf[-1] - old_leaf[-1]).max() > 0:
             moved_any_last = True
     assert moved_any_last
+
+
+# --- LRV / LVIS-Instruct-4V merge builders ----------------------------------
+# (reference scripts/additional-datasets/{lrv_instruct,lvis_instruct_4v}.py)
+
+
+def _stage_instruct_fixtures(base_dir):
+    """Synthetic raw inputs for both builders, with real image files so the
+    existence verification runs."""
+    base_dir.mkdir(parents=True, exist_ok=True)
+    (base_dir / "coco").mkdir()
+    lrv = base_dir / "lrv"
+    (lrv / "lrv-vg").mkdir(parents=True)
+    (lrv / "lrv-chart").mkdir()
+
+    mix665k = _records(4)
+    for i, r in enumerate(mix665k):
+        r["image"] = f"coco/base_{i}.jpg"
+        (base_dir / r["image"]).write_bytes(b"jpg")
+    (base_dir / "llava_v1_5_mix665k.json").write_text(json.dumps(mix665k))
+
+    lvis = _records(3)
+    for i, r in enumerate(lvis):
+        r["image"] = f"coco/lvis_{i}.jpg"
+        (base_dir / r["image"]).write_bytes(b"jpg")
+    (base_dir / "lvis_instruct4v_220k.json").write_text(json.dumps(lvis))
+
+    vg1 = [{"image_id": "10", "question": " What is red? ",
+            "answer": " The block. "}]
+    vg2 = [{"image_id": "11", "question": "Any chart?", "answer": "No."}]
+    chart = [{"image_id": "c0.png", "question": "Trend?", "answer": "Up."}]
+    (lrv / "filter_cap1.json").write_text(json.dumps(vg1))
+    (lrv / "filter_cap_more1.json").write_text(json.dumps(vg2))
+    (lrv / "chart_release_update.json").write_text(json.dumps(chart))
+    for fn in ("lrv-vg/10.jpg", "lrv-vg/11.jpg", "lrv-chart/c0.png"):
+        (lrv / fn).write_bytes(b"img")
+    return mix665k, lvis
+
+
+def test_instruct_merge_builders_end_to_end(tmp_path, monkeypatch):
+    """Both builders produce LLaVA-chat JSONs that FinetuneDataset resolves
+    end-to-end (the llava-lvis4v-lrv mixture path, models/zoo.py:112-114)."""
+    from vla_adapter_tpu.data.vlm_datasets import (
+        build_lrv_instruct,
+        build_lvis_instruct_4v,
+        lrv_to_llava_chat,
+    )
+
+    base = tmp_path / "llava-v1.5-instruct"
+    _stage_instruct_fixtures(base)
+
+    out_lvis = build_lvis_instruct_4v(base)
+    out_lrv, out_full = build_lrv_instruct(base)
+    assert out_lvis.name == "llava_v1_5_lvis4v_mix888k.json"
+    assert out_full.name == "llava_v1_5_lvis4v_lrv_mix1231k.json"
+
+    merged = json.loads(out_full.read_text())
+    assert len(merged) == 4 + 3 + 3  # base + lvis + lrv(2 vg + 1 chart)
+    # LRV conversion facts: path layout + <image>\n prompt + stripping
+    lrv_entries = {e["id"]: e for e in merged if str(e.get("image", ""))
+                   .startswith("lrv/")}
+    assert set(lrv_entries) == {"10", "11", "c0"}
+    assert lrv_entries["10"]["image"] == "lrv/lrv-vg/10.jpg"
+    assert lrv_entries["c0"]["image"] == "lrv/lrv-chart/c0.png"
+    assert lrv_entries["10"]["conversations"][0]["value"] == (
+        "<image>\nWhat is red?")
+    assert lrv_entries["10"]["conversations"][1]["value"] == "The block."
+
+    # deterministic: reference seeds random(7) and triple-shuffles, so two
+    # runs produce byte-identical files
+    first = out_full.read_bytes()
+    build_lrv_instruct(base)
+    assert out_full.read_bytes() == first
+
+    # missing image -> builder refuses (the reference asserts per example)
+    (base / "lrv/lrv-vg/10.jpg").unlink()
+    with pytest.raises(AssertionError, match="missing"):
+        build_lrv_instruct(base)
+
+    # the merged JSON drives FinetuneDataset end-to-end
+    monkeypatch.setattr(FinetuneDataset, "_pixels",
+                        lambda self, r: np.zeros((28, 28, 3), np.float32))
+    tok = MockTokenizer()
+    ft = FinetuneDataset(str(out_full), lambda t: tok(t).input_ids, None,
+                         max_text_tokens=64, eos_token_id=5,
+                         prompt_family="qwen")
+    assert len(ft) == 10
+    ex = ft[0]
+    assert ex["input_ids"].shape == (64,)

@@ -271,6 +271,46 @@ def test_calvin_hi3_schedule_and_gripper_flip():
     assert REF_HI3[2][1] == REF_HI3[3][1]
 
 
+def test_calvin_enrich_lang_substitution():
+    """Enriched-language protocol (reference evaluate_calvin.py:211-215,
+    346,398): enrich_lang swaps the whole annotation table for the shipped
+    enrich_lang_annotations.json and the instruction is annotations[
+    subtask][0] — the first paraphrase, never sampled."""
+    from vla_adapter_tpu.eval.calvin import eval_calvin, load_enriched_annotations
+
+    table = load_enriched_annotations()
+    # the reference JSON: 34 tasks, ~48 paraphrases each, first entries fixed
+    assert len(table) == 34
+    assert all(isinstance(v, list) and len(v) >= 2 for v in table.values())
+    assert table["rotate_red_block_right"][0] == "Turn the red block to the right"
+
+    seen = []
+
+    class RecordingPredictor(FakePredictor):
+        def predict_action(self, images, instruction, proprio=None,
+                           unnorm_key=None):
+            seen.append(instruction)
+            return super().predict_action(images, instruction,
+                                          proprio=proprio,
+                                          unnorm_key=unnorm_key)
+
+    def run(enrich: bool):
+        seen.clear()
+        env = ScriptedCalvinEnv()
+        env.reset = lambda **kw: None  # eval_calvin resets chains
+        standard = {"rotate_red_block_right": ["standard wording"]}
+        chains = [({"robot_obs": np.zeros(15), "scene_obs": np.zeros(24)},
+                   ["rotate_red_block_right"])]
+        cfg = CalvinEvalConfig(ep_len=5, enrich_lang=enrich)
+        res = eval_calvin(RecordingPredictor(),
+                          (env, ScriptedOracle(env), standard, chains), cfg)
+        assert res["num_chains"] == 1
+        return list(seen)
+
+    assert set(run(False)) == {"standard wording"}
+    assert set(run(True)) == {"Turn the red block to the right"}
+
+
 # --- golden fixture tests ---------------------------------------------------
 
 

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Callable, Dict, List, Sequence
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -38,6 +39,30 @@ class CalvinEvalConfig:
     ep_len: int = EP_LEN
     unnorm_key: str = "calvin_abc_rlds"
     image_size: int = 224
+    # Enriched-language protocol (reference evaluate_calvin.py:134,211-213):
+    # swap the standard new_playtable_validation.yaml annotations for the
+    # GPT-paraphrased enrich_lang_annotations.json. The 4.50 Pro north-star
+    # number (BASELINE.md) is defined under this mode.
+    enrich_lang: bool = False
+    enrich_lang_path: Optional[str] = None  # default: packaged asset
+
+
+def load_enriched_annotations(path: Optional[str] = None) -> Dict[str, List[str]]:
+    """The enriched CALVIN instruction table (reference ships it as
+    vla-scripts/enrich_lang_annotations.json; same 34-task key set as the
+    standard annotations, ~48 paraphrases per task). The selection rule is
+    the reference's: instruction = annotations[subtask][0] — only the FIRST
+    paraphrase is ever used (evaluate_calvin.py:346,398)."""
+    import json
+
+    if path is None:
+        path = str(Path(__file__).parent / "assets" /
+                   "enrich_lang_annotations.json")
+    with open(path) as f:
+        table = json.load(f)
+    assert all(isinstance(v, list) and v for v in table.values()), (
+        "malformed enriched-annotation table")
+    return table
 
 
 def count_success(results: Sequence[int]) -> List[float]:
@@ -119,6 +144,10 @@ def eval_calvin(predictor, calvin_env_and_assets, cfg: CalvinEvalConfig
     import jax
 
     env, task_oracle, val_annotations, eval_sequences = calvin_env_and_assets
+    if cfg.enrich_lang:
+        # reference evaluate_calvin.py:211-215: enrichment REPLACES the
+        # standard annotation table wholesale
+        val_annotations = load_enriched_annotations(cfg.enrich_lang_path)
     # shard chains across processes (reference: accelerate split)
     pid, n = jax.process_index(), jax.process_count()
     shard = list(eval_sequences)[pid::n]

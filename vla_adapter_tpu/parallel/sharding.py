@@ -135,6 +135,56 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, params_shardings(params, mesh))
 
 
+def per_process_seed(seed: int, process_index: Optional[int] = None) -> int:
+    """Distinct-but-deterministic data seed for this host.
+
+    The reference runs one RLDS pipeline per rank, seeded per rank via a
+    SeedSequence spawn (finetune.py:952-994, util/torch_utils.py:31-77) so
+    ranks never duplicate shuffles/augmentations. Same contract here:
+    fold the process index through a SeedSequence — adjacent (seed,
+    process) pairs map to statistically independent streams, unlike
+    seed+process arithmetic."""
+    pi = jax.process_index() if process_index is None else process_index
+    return int(np.random.SeedSequence([seed, pi]).generate_state(1)[0])
+
+
+def process_local_batch_size(global_batch_size: int) -> int:
+    """This host's share of the global batch (reference semantics: each DDP
+    rank feeds batch_size examples and the global batch is the sum;
+    finetune.py:952-994). We keep the config value GLOBAL — independent of
+    topology — and divide here."""
+    n = jax.process_count()
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    return global_batch_size // n
+
+
+def shard_batch_from_local(batch, mesh: Mesh, batch_axis: int = 0):
+    """Assemble GLOBAL device batches from each process's host-LOCAL shard.
+
+    Multi-host: every process passes only its own rows (distinct data, from
+    a per_process_seed pipeline) and jax.make_array_from_process_local_data
+    places them on that process's devices — no host ever materializes the
+    full global batch (the reference's per-rank pipelines have the same
+    property; an identical-global-batch contract would multiply host CPU
+    by process_count). Single-process: plain device_put with the same
+    sharding, so callers use one code path everywhere.
+
+    batch_axis follows shard_batch: 0 for (B, ...), 1 for gradient-
+    accumulation (A, B/A, ...) layouts."""
+    nproc = jax.process_count()
+
+    def one(x):
+        x = np.asarray(x)
+        spec = [None] * x.ndim
+        spec[batch_axis] = BATCH_SPEC[0]
+        sharding = NamedSharding(mesh, P(*spec))
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(one, batch)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim split over (data, fsdp) — every device computes distinct
     examples (DDP- or ZeRO-style depending on the param sharding)."""

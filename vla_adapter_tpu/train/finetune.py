@@ -49,14 +49,24 @@ def build_data_iter(cfg: FinetuneCLIConfig):
     from vla_adapter_tpu.data.tokenization import load_qwen_tokenizer
     from vla_adapter_tpu.data.transform import VLABatchTransform
 
+    from vla_adapter_tpu.parallel.sharding import (
+        per_process_seed,
+        process_local_batch_size,
+    )
+
     model_cfg = cfg.train.model
+    # One pipeline per HOST with a host-distinct seed and the host-local
+    # share of the global batch — the reference's per-rank RLDSDataset
+    # contract (finetune.py:952-994); the loop assembles the global batch
+    # via shard_batch_from_local.
+    seed = per_process_seed(cfg.train.seed)
     tok = load_qwen_tokenizer(cfg.data.tokenizer_dir)
     transform = VLABatchTransform(
         model_cfg,
         tokenize=lambda t: tok(t, add_special_tokens=True).input_ids,
         action_tokenizer=ActionTokenizer(len(tok)),
         image_processor=image_processor_for(model_cfg.vision),
-        seed=cfg.train.seed,
+        seed=seed,
     )
     kwargs_list, weights = get_oxe_dataset_kwargs_and_weights(
         cfg.data.root_dir, cfg.data.mixture,
@@ -66,10 +76,11 @@ def build_data_iter(cfg: FinetuneCLIConfig):
              if cfg.train.grad_accumulation_steps > 1 else None)
     ds = RLDSDataset(
         model_cfg, transform, kwargs_list, weights,
-        batch_size=cfg.train.batch_size, train=True,
+        batch_size=process_local_batch_size(cfg.train.batch_size),
+        train=True,
         image_aug=cfg.data.image_aug,
         shuffle_buffer_size=cfg.data.shuffle_buffer_size,
-        accum_steps=accum, seed=cfg.train.seed,
+        accum_steps=accum, seed=seed,
     )
     return iter(ds), ds.dataset_statistics
 

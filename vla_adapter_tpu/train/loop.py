@@ -21,7 +21,9 @@ from vla_adapter_tpu.models.layers import Runtime
 from vla_adapter_tpu.models.vla import VLAModel
 from vla_adapter_tpu.parallel.sharding import (
     create_mesh,
-    shard_batch,
+    per_process_seed,
+    process_local_batch_size,
+    shard_batch_from_local,
     shard_params,
 )
 from vla_adapter_tpu.train.checkpoints import (
@@ -79,9 +81,15 @@ def finetune(
     tx = make_optimizer(cfg.optim)
     max_steps = max_steps if max_steps is not None else cfg.optim.max_steps
 
+    # data_iter yields HOST-LOCAL batches (global batch_size / process
+    # count rows) — one distinctly-seeded pipeline per host, assembled
+    # into global arrays by shard_batch_from_local below. The reference
+    # has the same contract: every DDP rank owns an RLDSDataset with a
+    # per-rank seed (finetune.py:952-994, torch_utils.py:31-77).
     if data_iter is None:
         data_iter = iter(DummyDataset(
-            cfg.model, cfg.batch_size, seed=cfg.seed,
+            cfg.model, process_local_batch_size(cfg.batch_size),
+            seed=per_process_seed(cfg.seed),
             accum_steps=cfg.grad_accumulation_steps
             if cfg.grad_accumulation_steps > 1 else None,
         ))
@@ -135,7 +143,7 @@ def finetune(
         for _ in range(val_batches):
             vb = {k: v for k, v in next(val_iter).items()
                   if k != "dataset_name"}
-            vb = shard_batch(jax.tree.map(jnp.asarray, vb), mesh)
+            vb = shard_batch_from_local(vb, mesh)
             accs.append(jax.device_get(
                 eval_fn(cur_state, vb, jax.random.key(step_idx))
             ))
@@ -183,10 +191,8 @@ def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
         for step_idx in range(start_step, max_steps):
             device_batch = {k: v for k, v in batch.items()
                             if k != "dataset_name"}
-            device_batch = shard_batch(
-                jax.tree.map(jnp.asarray, device_batch), mesh,
-                batch_axis=batch_axis,
-            )
+            device_batch = shard_batch_from_local(
+                device_batch, mesh, batch_axis=batch_axis)
             state, m = step_fn(state, device_batch,
                                jax.random.fold_in(rng, step_idx))
             if pending is not None:
