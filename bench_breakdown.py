@@ -41,22 +41,33 @@ ITERS = 6
 def chain_time(fn, make_inputs, overhead, k_chain=K_CHAIN, iters=ITERS):
     """Per-call seconds of fn via a K-iteration scan with distinct inputs.
 
-    make_inputs(rng) -> pytree of per-iteration arrays WITHOUT the leading K
-    axis; the chain stacks K of them so every iteration sees fresh data.
+    make_inputs(rng) -> pytree of base arrays WITHOUT a leading K axis; the
+    chain perturbs every float leaf with a distinct per-iteration scalar
+    offset (bench.py's trick) so XLA cannot hoist work out of the loop and
+    the relay never sees two identical executions — WITHOUT materializing
+    K x iters full-size input stacks on device (a batch-16 pixel stack
+    would be ~2.3 GB per arg set and OOM the 16 GB chip).
     """
 
+    def is_float(x):
+        return jnp.issubdtype(x.dtype, jnp.floating)
+
     @jax.jit
-    def chain(stacked):
-        def body(acc, xs):
+    def chain(base, eps):
+        def body(acc, e):
+            xs = jax.tree.map(
+                lambda x: x + e.astype(x.dtype) if is_float(x) else x, base)
             return acc + fn(xs).astype(jnp.float32).mean(), None
 
-        acc, _ = lax.scan(body, jnp.float32(0), stacked)
+        acc, _ = lax.scan(body, jnp.float32(0), eps)
         return acc
 
+    base = jax.tree.map(jnp.asarray, make_inputs(np.random.default_rng(7000)))
+
     def fresh(i):
-        r = np.random.default_rng(7000 + i)
-        per = [make_inputs(r) for _ in range(k_chain)]
-        return (jax.tree.map(lambda *xs: jnp.stack(xs), *per),)
+        r = np.random.default_rng(7100 + i)
+        return (base,
+                jnp.asarray(r.normal(scale=1e-3, size=(k_chain,)), jnp.float32))
 
     wall = timed_calls(chain, [fresh(i) for i in range(iters)], fresh(-1))
     return max(wall - overhead, 1e-9) / k_chain
@@ -124,13 +135,17 @@ def main():
                     params, input_ids=ids, prompt_len=plen, text_valid=valid,
                     pixel_values=xs["pix"], proprio=xs["pr"])["actions"]
 
-            res["full"] = chain_time(
+            def record(key, t):
+                res[key] = t
+                print(f"# {mode}_b{batch} {key}: {t*1e3:.3f} ms", flush=True)
+
+            record("full", chain_time(
                 full_fn,
                 lambda r: {"pix": jnp.asarray(
                     r.normal(size=pix_shape), jnp.bfloat16),
                     "pr": jnp.asarray(r.normal(
                         size=(batch, consts.proprio_dim)), jnp.float32)},
-                overhead)
+                overhead))
 
             # --- vision towers + projector --------------------------------
             vision = FusedVisionBackbone(cfg, rt)
@@ -144,11 +159,11 @@ def main():
                 return proj.apply(proj_params, vision.apply(vis_params,
                                                             xs["pix"]))
 
-            res["vision_proj"] = chain_time(
+            record("vision_proj", chain_time(
                 vis_proj_fn,
                 lambda r: {"pix": jnp.asarray(
                     r.normal(size=pix_shape), jnp.bfloat16)},
-                overhead)
+                overhead))
 
             # --- LLM over the multimodal sequence -------------------------
             llm = llm_model_class(cfg.llm)(cfg.llm, rt)
@@ -163,11 +178,11 @@ def main():
                     llm_params, inputs_embeds=xs["emb"], causal=False,
                     output_hidden_states=True)["hidden_states"]
 
-            res["llm"] = chain_time(
+            record("llm", chain_time(
                 llm_fn,
                 lambda r: {"emb": jnp.asarray(
                     r.normal(size=emb_shape), jnp.bfloat16)},
-                overhead)
+                overhead))
 
             # --- bridge head on fixed hidden states -----------------------
             head = L1RegressionActionHead(
@@ -184,12 +199,12 @@ def main():
             def head_fn(xs):
                 return head.apply(head_params, xs["hs"], xs["pf"])
 
-            res["head"] = chain_time(
+            record("head", chain_time(
                 head_fn,
                 lambda r: {"hs": jnp.asarray(
                     r.normal(size=hs_shape), jnp.bfloat16),
                     "pf": jnp.asarray(r.normal(size=pf_shape), jnp.bfloat16)},
-                overhead)
+                overhead))
 
             # --- dynamic activation quantization alone --------------------
             if mode == "w8a8":
@@ -201,16 +216,17 @@ def main():
 
                 # one LLM-shaped quantize x 24 layers x 7 matmuls/layer as a
                 # rough upper bound of the standalone (unfused) cost
-                res["quantize_rows_one"] = chain_time(
+                record("quantize_rows_one", chain_time(
                     quant_fn,
                     lambda r: {"x": jnp.asarray(
                         r.normal(size=qx_shape), jnp.bfloat16)},
-                    overhead)
+                    overhead))
 
             res = {k: round(t * 1e3, 3) for k, t in res.items()}
             res["sum_vision_proj_llm_head"] = round(
                 res["vision_proj"] + res["llm"] + res["head"], 3)
             out[f"{mode}_b{batch}"] = res
+            print(f"# {mode}_b{batch}: {json.dumps(res)}", flush=True)
             del params, vis_params, proj_params, llm_params, head_params
             gc.collect()
             jax.clear_caches()

@@ -104,12 +104,18 @@ def test_vlm_dataset_prepare_offline(tmp_path):
     )
 
     # registry sanity: unique names, https/http urls, both reference stages
-    assert set(DATASET_REGISTRY) == {"llava-laion-cc-sbu-558k",
-                                     "llava-v1.5-instruct"}
+    # plus the instruct-tuning extras (lrv/lvis4v — reference
+    # scripts/additional-datasets/)
+    assert set(DATASET_REGISTRY) >= {"llava-laion-cc-sbu-558k",
+                                     "llava-v1.5-instruct",
+                                     "lrv-instruct", "lvis-instruct-4v"}
     for comps in DATASET_REGISTRY.values():
         names = [c["name"] for c in comps]
         assert len(names) == len(set(names))
-        assert all(c["url"].startswith(("http://", "https://")) for c in comps)
+        # lrv-instruct ships via Google Drive file ids (reference
+        # scripts/additional-datasets/lrv_instruct.py uses gdown)
+        assert all(c["url"].startswith(("http://", "https://", "gdrive:"))
+                   for c in comps)
 
     # stage the align dataset offline: chat json (pre-renamed) + images.zip
     ddir = tmp_path / "download" / "llava-laion-cc-sbu-558k"
