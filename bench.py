@@ -191,24 +191,32 @@ def bench_train_step(overhead):
     from vla_adapter_tpu.train.partition import split_trainable
     from vla_adapter_tpu.train.step import TrainState, make_train_step
 
-    tcfg = TrainConfig(batch_size=8)
+    # accum=2 over bs4 microbatches: same global-bs8 math (equivalence
+    # tested in test_train_step), measured faster than one bs8 microbatch
+    # on v5e (0.364 vs 0.405 s/step — the halved activation footprint
+    # schedules better; r3 sweep, tools/probes/sweep_remat.py).
+    tcfg = TrainConfig(batch_size=8, grad_accumulation_steps=2)
     rt = Runtime(
         dtype=jnp.bfloat16, param_dtype=jnp.float32,
         lora_rank=tcfg.lora.rank, lora_scale=tcfg.lora.scale,
-        remat=True, remat_policy=tcfg.remat_policy, attn_impl="auto",
+        remat=True, remat_policy=tcfg.remat_policy,
+        remat_components=tcfg.remat_components, attn_impl="auto",
     )
     model = VLAModel(tcfg.model, rt)
     tx = make_optimizer(tcfg.optim)
 
     batch_np = make_dummy_batch(tcfg.model, tcfg.batch_size,
-                                np.random.default_rng(0))
+                                np.random.default_rng(0),
+                                accum_steps=tcfg.grad_accumulation_steps)
     batch = jax.tree.map(jnp.asarray, batch_np)
+    example = jax.tree.map(lambda x: x[0], batch)  # one microbatch
     shapes = jax.eval_shape(
         lambda: model.init(
             {"params": jax.random.key(0), "noise": jax.random.key(1)},
-            input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
-            text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
-            proprio=batch.get("proprio"), train=True,
+            input_ids=example["input_ids"], prompt_len=example["prompt_len"],
+            text_valid=example["text_valid"],
+            pixel_values=example["pixel_values"],
+            proprio=example.get("proprio"), train=True,
         )["params"]
     )
     params = zeros_like_shapes(shapes)

@@ -124,3 +124,56 @@ def test_mask_builders_match_attention_masking():
         np.testing.assert_allclose(
             np.asarray(manual)[mask_rows], np.asarray(got)[mask_rows],
             atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (512, 1152, 1152),   # so400m qkv/o at serving batch-1 (2x256 folded)
+    (640, 896, 4864),    # Qwen2 0.5B MLP up at 640 multimodal tokens
+    (96, 4304, 1152),    # remainder blocks: M, N both non-multiples
+])
+def test_pallas_w8a8_matmul_interpret_matches_xla(m, k, n):
+    """The fused w8a8 kernel (interpret mode) matches the XLA serving math
+    bit-for-bit on the int8 dot and to fp32 rounding on the dequant."""
+    from vla_adapter_tpu.models.layers import quantize_rows
+    from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
+    ws = jnp.asarray(rng.uniform(0.5, 2.0, size=(n,)), jnp.float32)
+
+    xq, rs = quantize_rows(x)
+    ref = (
+        jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * rs * ws
+    )
+    got = w8a8_matmul(xq, rs, wq, ws, out_dtype=jnp.float32,
+                      block_m=256, block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dense_w8a8_pallas_impl_matches_xla():
+    """Dense(w8a8_impl='pallas') equals the XLA W8A8 branch on a 3D input
+    (the serving call shape): same int8 dot, same dequant, same dtype."""
+    from vla_adapter_tpu.models.layers import Dense, Runtime
+
+    base = dict(dtype=jnp.float32, param_dtype=jnp.float32,
+                weights_int8=True, act_int8=True, act_int8_min_dim=8)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 17, 64)),
+                    jnp.float32)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        rng = np.random.default_rng(4)  # identical params for both impls
+        d = Dense(96, use_bias=True, rt=Runtime(w8a8_impl=impl, **base))
+        params = d.init(jax.random.key(0), x)
+        params = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.integers(-127, 128, p.shape), jnp.int8
+            ) if p.dtype == jnp.int8 else
+            jnp.asarray(rng.uniform(0.1, 1.0, p.shape), p.dtype),
+            params)
+        outs[impl] = jax.jit(d.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["xla"]), rtol=1e-6, atol=1e-6)

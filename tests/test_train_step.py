@@ -246,6 +246,41 @@ def test_multidevice_tp_train_step():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_remat_policies_numerics_neutral():
+    """Rematerialization must not change the math: loss and grads under
+    every remat policy (nothing / dots_no_batch / mlp_saved, the
+    checkpoint_name-tagged wide-MLP save) match the no-remat step."""
+    from vla_adapter_tpu.train.step import make_loss_fn
+
+    rng = np.random.default_rng(1)
+    batch = jax.tree.map(jnp.asarray, make_dummy_batch(TINY_CFG, 4, rng))
+    results = {}
+    for policy in [None, "nothing", "dots_no_batch", "mlp_saved"]:
+        rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                     attn_impl="xla", lora_rank=4, lora_scale=2.0,
+                     remat=policy is not None,
+                     remat_policy=policy or "nothing")
+        model = VLAModel(TINY_CFG, rt)
+        tcfg = TrainConfig(model=TINY_CFG,
+                           optim=OptimizerConfig(learning_rate=1e-3,
+                                                 max_steps=100,
+                                                 num_steps_before_decay=1000))
+        tx = make_optimizer(tcfg.optim, warmup_steps=0)
+        state = init_train_state(model, tx, batch, jax.random.key(0),
+                                 lora_enabled=True)
+        loss_fn = make_loss_fn(model)
+        val, grads = jax.jit(jax.value_and_grad(
+            lambda tr: loss_fn(tr, state.frozen, batch,
+                               jax.random.key(7))[0]))(state.trainable)
+        gnorm = float(sum(jnp.sum(x ** 2)
+                          for x in jax.tree.leaves(grads)) ** 0.5)
+        results[policy] = (float(val), gnorm)
+    ref_loss, ref_gnorm = results[None]
+    for policy, (loss, gnorm) in results.items():
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-6, err_msg=str(policy))
+        np.testing.assert_allclose(gnorm, ref_gnorm, rtol=1e-5, err_msg=str(policy))
+
+
 def test_param_shardings_fsdp_rules():
     mesh = create_mesh(data=4, fsdp=2)
     model, state, _, _ = _setup(lora_rank=0)

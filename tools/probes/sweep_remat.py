@@ -117,6 +117,9 @@ SWEEPS = [
     ("dots a4", dict(accum=4, remat=True, policy="dots")),                 # 13
     ("nothing a2 bs16", dict(accum=2, remat=True, policy="nothing",
                              batch_size=16)),                              # 14
+    ("mlp_saved a1", dict(accum=1, remat=True, policy="mlp_saved")),       # 15
+    ("mlp_saved a2", dict(accum=2, remat=True, policy="mlp_saved")),       # 16
+    ("mlp_saved a4", dict(accum=4, remat=True, policy="mlp_saved")),       # 17
 ]
 
 

@@ -1,0 +1,101 @@
+"""Scratch: Pallas w8a8 matmul kernel vs the XLA serving path, real chip.
+
+Times a scan of L independent (quantize + int8 dot + dequant) projections
+at the batch-1 serving shapes (and one batch-16 shape), XLA lax.dot_general
+vs the pipelined Pallas kernel, with every output column consumed (guards
+against DCE inflating the numbers — see BREAKDOWN.md).
+
+Run: python tools/probes/w8a8_kernel_probe.py [block_n ...]
+"""
+
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vla_adapter_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from bench import measure_dispatch_overhead  # noqa: E402
+from vla_adapter_tpu.models.layers import quantize_rows  # noqa: E402
+from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul  # noqa: E402
+
+L = 48  # layers per timed scan — amortizes dispatch
+
+
+def make_fns(m, k, n, block_n):
+    rng = np.random.default_rng(0)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(L, k, n)), jnp.int8)
+    ws = jnp.asarray(rng.uniform(0.5, 2.0, size=(L, n)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+
+    def xla_body(x, w):
+        wq_l, ws_l = w
+        xq, rs = quantize_rows(x)
+        y = lax.dot_general(xq, wq_l, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * rs * ws_l).astype(jnp.bfloat16)
+        # fold back to (m, k) so every column is consumed
+        return y.reshape(m, -1, k).mean(axis=1), None
+
+    def pallas_body(x, w):
+        wq_l, ws_l = w
+        xq, rs = quantize_rows(x)
+        y = w8a8_matmul(xq, rs, wq_l, ws_l, block_n=block_n)
+        return y.reshape(m, -1, k).mean(axis=1), None
+
+    @jax.jit
+    def run_xla(x):
+        y, _ = lax.scan(xla_body, x, (wq, ws))
+        return y
+
+    @jax.jit
+    def run_pallas(x):
+        y, _ = lax.scan(pallas_body, x, (wq, ws))
+        return y
+
+    return x0, run_xla, run_pallas
+
+
+def timeit(fn, x, overhead, reps=30):
+    fn(x).block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        r = fn(x)
+    r.block_until_ready()
+    return max((time.time() - t0) / reps - overhead, 1e-9) / L
+
+
+def main():
+    blocks = [int(a) for a in _sys.argv[1:]] or [512]
+    overhead = measure_dispatch_overhead()
+    shapes = [
+        (512, 1152, 1152),  # so400m qkv/o
+        (512, 1152, 4304),  # so400m fc1
+        (512, 4304, 1152),  # so400m fc2
+        (640, 896, 4864),   # qwen mlp up/gate
+        (640, 4864, 896),   # qwen mlp down
+        (10240, 896, 4864),  # batch-16 qwen mlp up
+    ]
+    for m, k, n in shapes:
+        ideal = 2 * m * k * n / 394e12 * 1e6
+        x0, run_xla, run_pallas = make_fns(m, k, n, blocks[0])
+        t_x = timeit(run_xla, x0, overhead)
+        print(f"{m}x{k}x{n}: xla {t_x * 1e6:7.2f} us"
+              f"  (int8 ideal {ideal:6.2f})", flush=True)
+        for bn in blocks:
+            _, _, run_p = make_fns(m, k, n, bn)
+            t_p = timeit(run_p, x0, overhead)
+            print(f"  pallas[bn={bn}] {t_p * 1e6:7.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -353,12 +353,18 @@ class TrainConfig:
     fsdp_axis: int = 1
     tensor_axis: int = 1
     remat_llm: bool = True        # jax.checkpoint each decoder layer
-    # "nothing" (recompute everything in backward, min memory) or
-    # "dots_no_batch" (save matmul outputs whose dot has no batch dims).
-    # Measured on v5e @ bs8: "dots_no_batch" OOMs — our Dense folds the
-    # batch into M, so *every* dot qualifies and it degenerates to
-    # save-everything; "nothing" runs 465 ms/step. Keep "nothing".
+    # "nothing" (recompute everything in backward, min memory), "dots" /
+    # "dots_no_batch" (save matmul outputs), or "mlp_saved" (save only the
+    # checkpoint_name-tagged wide MLP projections). Measured on v5e @ bs8:
+    # "dots*" OOM — our Dense folds the batch into M, so *every* dot
+    # qualifies and it degenerates to save-everything; "mlp_saved" blows up
+    # XLA compile time past practicality (>18 min vs ~3); "nothing" is the
+    # measured default (r3 sweep, tools/probes/sweep_remat.py).
     remat_policy: str = "nothing"
+    # Which stacks rematerialize when remat_llm=True. r3 sweep @ bs8/accum2:
+    # ("vit","llm") 0.364 s/step beats full remat 0.369 (the head's
+    # activations are small enough to save); ("llm","head") alone OOMs.
+    remat_components: Tuple[str, ...] = ("vit", "llm")
     # Store frozen (non-trained) params in bf16 — halves the frozen base's
     # HBM with no optimizer impact (compute is bf16 anyway).
     frozen_bf16: bool = True

@@ -65,6 +65,13 @@ class Runtime:
     # no speed to gain, precision to lose).
     act_int8: bool = False
     act_int8_min_dim: int = 256
+    # W8A8 matmul implementation: "xla" (lax.dot_general with fused
+    # quant/dequant epilogues) or "pallas" (ops/pallas_matmul.w8a8_matmul —
+    # hand-pipelined weight streaming with the dequant fused in VMEM,
+    # targeting the small-row serving shapes BREAKDOWN.md measured at only
+    # ~50-75% of the int8 roofline under XLA). Inference-only: the pallas
+    # kernel defines no VJP, and every weights_int8 Dense is frozen anyway.
+    w8a8_impl: str = "xla"
 
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
@@ -77,8 +84,16 @@ def remat_policy(rt: Runtime):
 
     if rt.remat_policy == "nothing":
         return jax.checkpoint_policies.nothing_saveable
+    if rt.remat_policy == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
     if rt.remat_policy == "dots_no_batch":
         return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    if rt.remat_policy == "mlp_saved":
+        # Save exactly the checkpoint_name-tagged wide MLP projections
+        # (Qwen2MLP gate/up, ViTMLP fc1) — ~90% of a transformer layer's
+        # recompute FLOPs for ~50 MB/layer at micro-batch 4, leaving the
+        # cheap norms/attention-projection recompute in the backward.
+        return jax.checkpoint_policies.save_only_these_names("mlp_wide")
     raise ValueError(f"unknown remat_policy {rt.remat_policy!r}")
 
 
@@ -123,17 +138,29 @@ class Dense(nn.Module):
             ) >= self.rt.act_int8_min_dim:
                 # W8A8: dynamic per-token activation quant, int8 MXU matmul.
                 xq, row_scale = quantize_rows(x)
-                y = lax.dot_general(
-                    xq,
-                    kernel_q,
-                    (((x.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                y = (
-                    y.astype(jnp.float32)
-                    * row_scale
-                    * kernel_scale.astype(jnp.float32)
-                ).astype(self.rt.dtype)
+                if self.rt.w8a8_impl == "pallas":
+                    from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul
+
+                    lead = x.shape[:-1]
+                    y = w8a8_matmul(
+                        xq.reshape(-1, in_features),
+                        row_scale.reshape(-1, 1),
+                        kernel_q,
+                        kernel_scale,
+                        out_dtype=self.rt.dtype,
+                    ).reshape(*lead, self.features)
+                else:
+                    y = lax.dot_general(
+                        xq,
+                        kernel_q,
+                        (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    y = (
+                        y.astype(jnp.float32)
+                        * row_scale
+                        * kernel_scale.astype(jnp.float32)
+                    ).astype(self.rt.dtype)
             else:
                 # int8 upcast in-register; HBM only streams 1 byte/weight.
                 y = lax.dot_general(

@@ -24,6 +24,7 @@ from typing import Optional, Type
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vla_adapter_tpu.core.config import Qwen2Config
 from vla_adapter_tpu.models.layers import Dense, RMSNorm, Runtime
@@ -107,7 +108,13 @@ class Qwen2MLP(nn.Module):
         self.down_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
 
     def __call__(self, x):
-        return self.down_proj(nn.silu(self.gate_proj(x)) * self.up_proj(x))
+        # checkpoint_name tags the two FLOPs-heavy up-projections so the
+        # "mlp_saved" remat policy (layers.remat_policy) can save exactly
+        # these in the backward: recomputing them is ~90% of a layer's
+        # recompute FLOPs, while storing them is cheap at micro-batch sizes.
+        gate = checkpoint_name(self.gate_proj(x), "mlp_wide")
+        up = checkpoint_name(self.up_proj(x), "mlp_wide")
+        return self.down_proj(nn.silu(gate) * up)
 
 
 class Qwen2DecoderLayer(nn.Module):

@@ -29,6 +29,7 @@ from typing import Optional, Type
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vla_adapter_tpu.core.config import ViTConfig
 from vla_adapter_tpu.models.layers import Dense, LayerNorm, Runtime, activation
@@ -62,7 +63,10 @@ class ViTMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg, rt = self.cfg, self.rt
-        x = Dense(cfg.mlp_dim, rt=rt, name="fc1")(x)
+        # Tagged for the "mlp_saved" remat policy (see models/layers.py):
+        # the 4x-wide fc1 output is the block's dominant recompute cost.
+        x = checkpoint_name(Dense(cfg.mlp_dim, rt=rt, name="fc1")(x),
+                            "mlp_wide")
         x = activation(cfg.mlp_activation)(x)
         return Dense(cfg.hidden_size, rt=rt, name="fc2")(x)
 
