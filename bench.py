@@ -263,10 +263,11 @@ def main():
 
     overhead = measure_dispatch_overhead()
 
-    def run(batch, k_chain, iters, int8=False, act_int8=False):
+    def run(batch, k_chain, iters, int8=False, act_int8=False,
+            w8a8_impl="xla"):
         rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                      attn_impl="auto", weights_int8=int8 or act_int8,
-                     act_int8=act_int8)
+                     act_int8=act_int8, w8a8_impl=w8a8_impl)
         model = VLAModel(cfg, rt)
         per_fwd = bench_forward(model, cfg, batch, k_chain, iters, overhead,
                                 int8=int8 or act_int8)
@@ -298,8 +299,19 @@ def main():
     w8a8_row["mode"] = "w8a8"
     w8a8_b1 = run(1, k_chain=12, iters=8, act_int8=True)
     w8a8_b1["mode"] = "w8a8"
-    best = max(sweep + [int8_row, w8a8_row, w8a8_b1],
-               key=lambda r: r["chunks_per_s"])
+    # Same batch-1 w8a8 math through the hand-pipelined Pallas matmul
+    # (ops/pallas_matmul.py) instead of XLA's dot+epilogue fusions. Guarded:
+    # a kernel regression must degrade the headline, not break the bench.
+    rows = sweep + [int8_row, w8a8_row, w8a8_b1]
+    w8a8_b1_pallas = None
+    try:
+        w8a8_b1_pallas = run(1, k_chain=12, iters=8, act_int8=True,
+                             w8a8_impl="pallas")
+        w8a8_b1_pallas["mode"] = "w8a8+pallas_mm"
+        rows.append(w8a8_b1_pallas)
+    except Exception as e:  # pragma: no cover - depends on chip toolchain
+        w8a8_b1_pallas = {"error": repr(e)[:200]}
+    best = max(rows, key=lambda r: r["chunks_per_s"])
 
     train_step_s = None
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
@@ -312,7 +324,7 @@ def main():
         "unit": (
             f"8-action chunks/s on one v5e chip (batch {best['batch']}"
             f"{', int8' if best is int8_row else ''}"
-            f"{', w8a8' if best.get('mode') == 'w8a8' else ''}"
+            f"{', ' + best['mode'] if best.get('mode') else ''}"
             f", mfu {best['mfu']:.2f}; "
             f"batch-1 latency {latency_row['s_per_forward']*1e3:.1f} ms/chunk; "
             f"dispatch overhead {overhead*1e3:.1f} ms subtracted)"
@@ -324,6 +336,7 @@ def main():
             "int8": int8_row,
             "w8a8": w8a8_row,
             "w8a8_batch1": w8a8_b1,
+            "w8a8_batch1_pallas_mm": w8a8_b1_pallas,
             "latency_s_batch1": latency_row["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),

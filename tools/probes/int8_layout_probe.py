@@ -23,17 +23,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/vla_adapter_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from bench import measure_dispatch_overhead, timed_calls  # noqa: E402
+from vla_adapter_tpu.models.layers import quantize_rows  # noqa: E402
 
 L, S, D = 24, 640, 896
 K_CHAIN = 100
-
-
-def quantize_rows(x):
-    xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return xq, scale
 
 
 def run(mode, overhead, iters=6):

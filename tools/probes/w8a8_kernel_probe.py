@@ -37,20 +37,30 @@ def make_fns(m, k, n, block_n):
     ws = jnp.asarray(rng.uniform(0.5, 2.0, size=(L, n)), jnp.float32)
     x0 = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
 
+    def consume(x, y):
+        # Fold y back to x's (m, k) carry shape with EVERY column
+        # contributing, so XLA cannot dead-code-eliminate output columns
+        # (see BREAKDOWN.md). The relu is the anti-fold barrier: a plain
+        # mean could legally commute into the dot (x @ row_sums(W)),
+        # collapsing the matmul under test to a matvec; max(y, 0) cannot.
+        # Works for any (k, n) — no divisibility requirement — and fuses
+        # into the dequant epilogue on both branches identically.
+        r = jnp.maximum(y.astype(jnp.float32), 0).mean(axis=1, keepdims=True)
+        return x + r.astype(jnp.bfloat16)
+
     def xla_body(x, w):
         wq_l, ws_l = w
         xq, rs = quantize_rows(x)
         y = lax.dot_general(xq, wq_l, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
         y = (y.astype(jnp.float32) * rs * ws_l).astype(jnp.bfloat16)
-        # fold back to (m, k) so every column is consumed
-        return y.reshape(m, -1, k).mean(axis=1), None
+        return consume(x, y), None
 
     def pallas_body(x, w):
         wq_l, ws_l = w
         xq, rs = quantize_rows(x)
         y = w8a8_matmul(xq, rs, wq_l, ws_l, block_n=block_n)
-        return y.reshape(m, -1, k).mean(axis=1), None
+        return consume(x, y), None
 
     @jax.jit
     def run_xla(x):

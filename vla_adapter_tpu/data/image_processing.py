@@ -229,18 +229,18 @@ def spawn_without_accelerator():
             os.environ.update(saved)
 
 
-def _pool_worker_init(barrier) -> None:
+def _pool_worker_init(barrier, started) -> None:
     """Eagerly pay the heavy imports at worker spawn, not first request
     (TF alone is tens of seconds on a busy host), then rendezvous so NO
     worker accepts tasks before EVERY worker is warm — without the barrier
     one fast worker drains the warm-up tasks and cold ones meet real
     traffic. A worker respawned by mp.Pool AFTER startup (original died to
     OOM/segfault mid-task) must NOT wait for a rendezvous nobody else will
-    join: its wait() times out and breaks the barrier — treat that as
-    'startup already happened' and serve, instead of dying and looping the
-    pool through respawn forever."""
+    join: the parent sets ``started`` once the warm-up probe returns, so a
+    respawn skips the barrier immediately (waiting for its 300 s timeout
+    would stall every task already dispatched to that worker)."""
     _tf()
-    if barrier is not None:
+    if barrier is not None and not (started is not None and started.is_set()):
         try:
             barrier.wait(timeout=300)
         except threading.BrokenBarrierError:
@@ -262,9 +262,11 @@ class PixelPool:
         self.task_timeout_s = task_timeout_s
         ctx = mp.get_context("spawn")
         barrier = ctx.Barrier(workers)
+        started = ctx.Event()  # set after warm-up: respawns skip the barrier
         with spawn_without_accelerator():
             self._pool = ctx.Pool(
-                workers, initializer=_pool_worker_init, initargs=(barrier,))
+                workers, initializer=_pool_worker_init,
+                initargs=(barrier, started))
         # probe: any task can only run once all initializers passed the
         # barrier, so one get() proves the whole pool is warm
         dummy = [np.zeros((8, 8, 3), np.uint8)]
@@ -272,6 +274,7 @@ class PixelPool:
             pool_pixels, (dummy, 8, None, ImageProcessor(
                 towers=(TowerSpec(size=8),)), True)
         ).get(timeout=300)
+        started.set()
 
     def run(self, images, size, crop_scale, processor, geom_only) -> np.ndarray:
         # bounded get(): a worker killed mid-task (OOM, segfault) loses its

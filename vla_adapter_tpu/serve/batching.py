@@ -78,6 +78,10 @@ class DynamicBatcher:
         self._closed = False
         self._batch_sizes: List[int] = []
         self._lock = threading.Lock()
+        # serializes the closed-flag check against enqueue: without it a
+        # request thread could pass the check, then enqueue after close()'s
+        # final drain — stranding its caller in done.wait() forever
+        self._shutdown_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -100,15 +104,24 @@ class DynamicBatcher:
             # end-to-end /act throughput at 16 clients on one v5e host)
             req.row = self.predictor.preprocess(
                 images, instruction, proprio, unnorm_key)
-        self._q.put(req)
+        with self._shutdown_lock:
+            # atomic check+enqueue: once close() flips the flag (under this
+            # lock), every request is either already in the queue — ahead of
+            # the sentinel, so the worker or close()'s drain settles it — or
+            # rejected here
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._q.put(req)
         req.done.wait()
         if req.error is not None:
             raise req.error
         return req.result
 
-    def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+    def close(self, join_timeout_s: float = 120.0) -> None:
+        with self._shutdown_lock:
+            self._closed = True
+            self._q.put(None)
+        deadline = time.monotonic() + join_timeout_s
         while True:
             self._worker.join(timeout=5)
             if not self._worker.is_alive():
@@ -120,6 +133,12 @@ class DynamicBatcher:
             # would block on q.get() forever once its forward finishes.
             self._fail_pending(RuntimeError("DynamicBatcher closed"))
             self._q.put(None)
+            if time.monotonic() > deadline:
+                # A wedged device forward can outlive any wait: give up on
+                # the join (the worker is a daemon thread and a sentinel is
+                # queued for it), unblock remaining callers, and return so
+                # the server process itself can still shut down.
+                break
         self._fail_pending(RuntimeError("DynamicBatcher closed"))
 
     def _fail_pending(self, err: BaseException) -> None:
