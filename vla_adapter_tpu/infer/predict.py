@@ -49,6 +49,10 @@ class Predictor:
     # batched-throughput lever. Check models/quantize.forward_error_report
     # (act_int8=True) and task success rates before deploying.
     act_int8: bool = False
+    # W8A8 matmul backend: "xla" or "pallas" (ops/pallas_matmul.py — the
+    # hand-pipelined kernel for the small-row batch-1 shapes; see
+    # models/layers.Runtime.w8a8_impl for the measured dispatch guidance).
+    w8a8_impl: str = "xla"
     # Ship uint8 pixels and normalize on-device: halves host->device bytes
     # per request (the (B, n_img, H, W, 6) tensor travels as 1 byte/chan
     # instead of 2+), with bit-identical fp32 normalization math. Off only
@@ -63,7 +67,8 @@ class Predictor:
 
             self.params = quantize_params(jax.device_get(self.params))
             self.rt = _dc.replace(self.rt, weights_int8=True,
-                                  act_int8=self.act_int8)
+                                  act_int8=self.act_int8,
+                                  w8a8_impl=self.w8a8_impl)
         self.model = VLAModel(self.cfg, self.rt)
         self.image_processor = image_processor_for(self.cfg.vision)
         self.transform = VLABatchTransform(

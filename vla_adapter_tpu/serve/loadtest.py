@@ -210,7 +210,8 @@ def run_load(
 # ---------------------------------------------------------------------------
 
 
-def _build_predictor(tiny: bool, int8: bool, act_int8: bool):
+def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
+                     w8a8_impl: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -252,7 +253,7 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool):
         # zeros, which through the local TPU tunnel costs tens of minutes.
         rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                      attn_impl="auto", weights_int8=int8 or act_int8,
-                     act_int8=act_int8)
+                     act_int8=act_int8, w8a8_impl=w8a8_impl)
         int8 = act_int8 = False
 
     model = VLAModel(cfg, rt)
@@ -296,6 +297,8 @@ def main(argv: Optional[List[str]] = None) -> Dict:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--act-int8", action="store_true")
+    p.add_argument("--w8a8-impl", default="xla", choices=("xla", "pallas"),
+                   help="w8a8 matmul backend (ops/pallas_matmul.py)")
     p.add_argument("--dynamic-batch", action="store_true")
     p.add_argument("--prewarm", action="store_true",
                    help="compile every batch bucket before applying load")
@@ -318,7 +321,8 @@ def main(argv: Optional[List[str]] = None) -> Dict:
                           "/tmp/vla_adapter_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-        predictor = _build_predictor(args.tiny, args.int8, args.act_int8)
+        predictor = _build_predictor(args.tiny, args.int8, args.act_int8,
+                                     args.w8a8_impl)
         if args.prewarm:
             rng = np.random.default_rng(9)
             hw = predictor.cfg.vision.primary.image_size
