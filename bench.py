@@ -253,6 +253,37 @@ def bench_train_step(overhead):
 # ---------------------------------------------------------------------------
 
 
+def check_device_reachable(timeout_s: float = 600.0) -> None:
+    """Fail fast (JSON error line) when the device tunnel is wedged.
+
+    jax.devices() against an unreachable tunnel blocks indefinitely with no
+    interruptible handle; probing it in a killable subprocess converts an
+    infinite hang into a bounded, machine-readable failure. Observed: the
+    axon relay went unreachable for hours mid-round; a plain bench run
+    would have sat in backend init the whole time."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0 and "ok" in out.stdout:
+            return
+        detail = (out.stderr or out.stdout)[-300:]
+    except subprocess.TimeoutExpired:
+        detail = f"device backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    print(json.dumps({
+        "metric": "predict_chunks_per_s_per_chip",
+        "value": None,
+        "unit": "UNMEASURED: device unreachable",
+        "vs_baseline": None,
+        "error": detail,
+    }))
+    raise SystemExit(1)
+
+
 def main():
     from vla_adapter_tpu.core.config import VLAConfig
     from vla_adapter_tpu.models.layers import Runtime
@@ -261,6 +292,7 @@ def main():
     cfg = VLAConfig()
     fl = flops_per_chunk(cfg)
 
+    check_device_reachable()
     overhead = measure_dispatch_overhead()
 
     def run(batch, k_chain, iters, int8=False, act_int8=False,
