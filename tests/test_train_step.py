@@ -249,13 +249,15 @@ def test_multidevice_tp_train_step():
 def test_remat_policies_numerics_neutral():
     """Rematerialization must not change the math: loss and grads under
     every remat policy (nothing / dots_no_batch / mlp_saved, the
-    checkpoint_name-tagged wide-MLP save) match the no-remat step."""
+    checkpoint_name-tagged wide-MLP save / attn_only, the structural
+    attention-sublayer checkpoint) match the no-remat step."""
     from vla_adapter_tpu.train.step import make_loss_fn
 
     rng = np.random.default_rng(1)
     batch = jax.tree.map(jnp.asarray, make_dummy_batch(TINY_CFG, 4, rng))
     results = {}
-    for policy in [None, "nothing", "dots_no_batch", "mlp_saved"]:
+    for policy in [None, "nothing", "dots_no_batch", "mlp_saved",
+                   "attn_only"]:
         rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
                      attn_impl="xla", lora_rank=4, lora_scale=2.0,
                      remat=policy is not None,

@@ -120,6 +120,22 @@ SWEEPS = [
     ("mlp_saved a1", dict(accum=1, remat=True, policy="mlp_saved")),       # 15
     ("mlp_saved a2", dict(accum=2, remat=True, policy="mlp_saved")),       # 16
     ("mlp_saved a4", dict(accum=4, remat=True, policy="mlp_saved")),       # 17
+    ("attn_only a2 vit+llm",
+     dict(accum=2, remat=True, policy="attn_only",
+          components=("vit", "llm"))),                                     # 18
+    ("attn_only a2 full", dict(accum=2, remat=True, policy="attn_only")),  # 19
+    ("attn_only a4 vit+llm",
+     dict(accum=4, remat=True, policy="attn_only",
+          components=("vit", "llm"))),                                     # 20
+    ("attn_only a1 vit+llm",
+     dict(accum=1, remat=True, policy="attn_only",
+          components=("vit", "llm"))),                                     # 21
+    ("nothing a1 vit+llm bs16",
+     dict(accum=1, remat=True, policy="nothing", batch_size=16,
+          components=("vit", "llm"))),                                     # 22
+    ("attn_only a2 vit+llm bs16",
+     dict(accum=2, remat=True, policy="attn_only", batch_size=16,
+          components=("vit", "llm"))),                                     # 23
 ]
 
 

@@ -84,6 +84,12 @@ def remat_policy(rt: Runtime):
 
     if rt.remat_policy == "nothing":
         return jax.checkpoint_policies.nothing_saveable
+    if rt.remat_policy == "attn_only":
+        # Structural policy: Qwen2DecoderLayer/ViTBlock skip the whole-layer
+        # wrap and checkpoint only their attention sublayer in-place. Stacks
+        # without that split (phi, the bridge head) fall back to full-layer
+        # recompute under this policy.
+        return jax.checkpoint_policies.nothing_saveable
     if rt.remat_policy == "dots":
         return jax.checkpoint_policies.checkpoint_dots
     if rt.remat_policy == "dots_no_batch":

@@ -130,6 +130,22 @@ class Qwen2DecoderLayer(nn.Module):
 
     def __call__(self, x, cos, sin, valid, causal: bool,
                  return_kv: bool = False):
+        if (self.rt.remat and self.rt.remat_policy == "attn_only"
+                and "llm" in self.rt.remat_components and not return_kv):
+            # Structural remat: checkpoint ONLY the attention half; the MLP
+            # (~75% of the layer's FLOPs at 896/4864) stays saved. Same
+            # save/recompute split "mlp_saved" aims for, without the named
+            # checkpoint policy that blows up XLA compile time inside the
+            # layer scan (core/config.py remat notes). The outer scan wrap
+            # in Qwen2Model is skipped for this policy.
+            def attn_delta(mdl, h):
+                return mdl.self_attn(h, cos, sin, valid, causal,
+                                     return_kv=False)
+
+            h = self.input_layernorm(x)
+            x = x + nn.remat(attn_delta)(self, h)
+            h = self.post_attention_layernorm(x)
+            return x + self.mlp(h)
         h = self.input_layernorm(x)
         attn = self.self_attn(h, cos, sin, valid, causal, return_kv=return_kv)
         if return_kv:
@@ -242,7 +258,8 @@ class Qwen2Model(nn.Module):
         )
 
         layer_cls: Type[nn.Module] = Qwen2DecoderLayer
-        if rt.remat and "llm" in rt.remat_components:
+        if (rt.remat and "llm" in rt.remat_components
+                and rt.remat_policy != "attn_only"):
             from vla_adapter_tpu.models.layers import remat_policy
 
             layer_cls = nn.remat(

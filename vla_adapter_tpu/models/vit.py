@@ -98,11 +98,23 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, lang: Optional[jnp.ndarray] = None):
         cfg, rt = self.cfg, self.rt
-        h = ViTAttention(cfg, rt, name="attn")(
-            LayerNorm(cfg.layernorm_eps, rt=rt, name="norm1")(x)
-        )
-        if cfg.layer_scale_init is not None:
-            h = LayerScale(rt, cfg.layer_scale_init, name="ls1")(h)
+
+        def attn_delta(mdl, h):
+            a = ViTAttention(cfg, rt, name="attn")(h)
+            if cfg.layer_scale_init is not None:
+                a = LayerScale(rt, cfg.layer_scale_init, name="ls1")(a)
+            return a
+
+        if (rt.remat and rt.remat_policy == "attn_only"
+                and "vit" in rt.remat_components):
+            # Structural remat (see Qwen2DecoderLayer): only the attention
+            # sublayer recomputes in the backward; the 4x-wide MLP stays
+            # saved. The outer block wrap below is skipped for this policy.
+            h = nn.remat(attn_delta)(
+                self, LayerNorm(cfg.layernorm_eps, rt=rt, name="norm1")(x))
+        else:
+            h = attn_delta(
+                self, LayerNorm(cfg.layernorm_eps, rt=rt, name="norm1")(x))
         x = x + h
         if cfg.film_llm_dim is not None:
             assert lang is not None, "FiLM block needs a language embedding"
@@ -205,7 +217,8 @@ class VisionTransformer(nn.Module):
             lang = lang.astype(rt.dtype)
 
         block_cls = ViTBlock
-        if rt.remat and "vit" in rt.remat_components:
+        if (rt.remat and "vit" in rt.remat_components
+                and rt.remat_policy != "attn_only"):
             from vla_adapter_tpu.models.layers import remat_policy
 
             block_cls = nn.remat(ViTBlock, policy=remat_policy(rt))
