@@ -191,3 +191,50 @@ def test_bucket_ladder_extends_past_defaults():
     assert max(b.buckets) >= 32
     assert _bucket(17, b.buckets) == 32
     b.close()
+
+
+def test_predict_after_close_raises_instead_of_hanging():
+    b = DynamicBatcher(FakeBatchPredictor(), max_batch=4, max_wait_ms=1.0)
+    b.close()
+    try:
+        b.predict(*_req(0))
+        raise AssertionError("predict after close must raise")
+    except RuntimeError:
+        pass
+
+
+def test_close_bounded_when_forward_is_wedged():
+    """A device forward that never returns must not hang close(): it gives
+    up after join_timeout_s, fails the stranded callers, and returns."""
+    release = threading.Event()
+
+    class Wedged(FakeBatchPredictor):
+        def predict_action_batch(self, *a, **kw):
+            release.wait(timeout=30)  # far longer than the close bound
+            return super().predict_action_batch(*a, **kw)
+
+    b = DynamicBatcher(Wedged(), max_batch=2, max_wait_ms=1.0)
+    errors = []
+
+    def call():
+        try:
+            b.predict(*_req(1))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t = threading.Thread(target=call, daemon=True)
+    t.start()
+    time.sleep(0.2)  # let the worker pick the request up (now in-flight)
+
+    # a second request queued BEHIND the in-flight forward
+    t2 = threading.Thread(target=call, daemon=True)
+    t2.start()
+    time.sleep(0.1)
+
+    t0 = time.monotonic()
+    b.close(join_timeout_s=1.0)
+    assert time.monotonic() - t0 < 15, "close() failed to bound its wait"
+    release.set()  # unwedge so the daemon worker can exit
+    t2.join(timeout=5)
+    assert not t2.is_alive(), "queued caller was stranded by close()"
+    assert any(isinstance(e, RuntimeError) for e in errors)
