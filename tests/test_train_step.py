@@ -313,3 +313,42 @@ def test_shard_batch_accumulation_axis():
     # (batch_axis=0) would raise here
     out0 = shard_batch(jax.tree.map(jnp.asarray, batch), mesh, batch_axis=1)
     assert np.asarray(out0["x"]).shape == (2, 8, 3)
+
+
+@pytest.mark.slow
+def test_multidevice_tp_train_step_attn_only_remat():
+    """The structural attn_only remat (in-layer nn.remat of the attention
+    sublayer) composes with dp x fsdp x tensor GSPMD sharding: sharded
+    execution matches the single-device step bit-for-bit."""
+    assert jax.device_count() >= 8
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
+                 lora_rank=4, lora_scale=2.0, remat=True,
+                 remat_policy="attn_only")
+    model = VLAModel(TINY_CFG, rt)
+    tcfg = TrainConfig(model=TINY_CFG,
+                       optim=OptimizerConfig(learning_rate=1e-3,
+                                             max_steps=100,
+                                             num_steps_before_decay=1000))
+    tx = make_optimizer(tcfg.optim, warmup_steps=0)
+    batch = jax.tree.map(
+        jnp.asarray, make_dummy_batch(TINY_CFG, 8, np.random.default_rng(0)))
+    state = init_train_state(model, tx, batch, jax.random.key(0),
+                             lora_enabled=True)
+    step = jax.jit(make_train_step(model, tx, tcfg))
+
+    sharded = TrainState(
+        step=state.step,
+        trainable=shard_params(state.trainable, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        opt_state=jax.tree.map(
+            lambda x: shard_params(x, mesh) if isinstance(x, dict) else x,
+            state.opt_state,
+            is_leaf=lambda x: isinstance(x, dict),
+        ),
+    )
+    s1, m1 = step(state, batch, jax.random.key(0))
+    s2, m2 = step(sharded, shard_batch(batch, mesh), jax.random.key(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
