@@ -40,5 +40,11 @@ def test_all_cli_configs_parse():
     # nested override sanity
     cfg = parse_config(LiberoCLIConfig, ["--eval.num_trials_per_task", "7"])
     assert cfg.eval.num_trials_per_task == 7
+    # tuple-of-pairs fields use ':' within a pair, ',' between pairs
+    cfg = parse_config(
+        FinetuneCLIConfig,
+        ["--train.remat_policy_overrides", "vit:nothing,head:nothing"])
+    assert cfg.train.remat_policy_overrides == (
+        ("vit", "nothing"), ("head", "nothing"))
     with pytest.raises(KeyError):
         parse_config(DeployConfig, ["--prot", "1"])

@@ -256,12 +256,17 @@ def test_remat_policies_numerics_neutral():
     rng = np.random.default_rng(1)
     batch = jax.tree.map(jnp.asarray, make_dummy_batch(TINY_CFG, 4, rng))
     results = {}
-    for policy in [None, "nothing", "dots_no_batch", "mlp_saved",
-                   "attn_only"]:
+    for policy, overrides in [(None, ()), ("nothing", ()),
+                              ("dots_no_batch", ()), ("mlp_saved", ()),
+                              ("attn_only", ()),
+                              # the committed split policy: attn_only on the
+                              # LLM, full recompute on the ViT towers
+                              ("attn_only", (("vit", "nothing"),))]:
         rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
                      attn_impl="xla", lora_rank=4, lora_scale=2.0,
                      remat=policy is not None,
-                     remat_policy=policy or "nothing")
+                     remat_policy=policy or "nothing",
+                     remat_policy_overrides=overrides)
         model = VLAModel(TINY_CFG, rt)
         tcfg = TrainConfig(model=TINY_CFG,
                            optim=OptimizerConfig(learning_rate=1e-3,
@@ -276,8 +281,8 @@ def test_remat_policies_numerics_neutral():
                                jax.random.key(7))[0]))(state.trainable)
         gnorm = float(sum(jnp.sum(x ** 2)
                           for x in jax.tree.leaves(grads)) ** 0.5)
-        results[policy] = (float(val), gnorm)
-    ref_loss, ref_gnorm = results[None]
+        results[(policy, overrides)] = (float(val), gnorm)
+    ref_loss, ref_gnorm = results[(None, ())]
     for policy, (loss, gnorm) in results.items():
         np.testing.assert_allclose(loss, ref_loss, rtol=1e-6, err_msg=str(policy))
         np.testing.assert_allclose(gnorm, ref_gnorm, rtol=1e-5, err_msg=str(policy))

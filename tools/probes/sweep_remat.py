@@ -29,17 +29,19 @@ from vla_adapter_tpu.train.step import TrainState, make_train_step  # noqa: E402
 
 
 def train_step_time(overhead, accum, remat, policy, components=("vit", "llm", "head"),
-                    batch_size=8):
+                    batch_size=8, overrides=()):
     import dataclasses as dc
     import gc
 
     tcfg = TrainConfig(batch_size=batch_size,
                        grad_accumulation_steps=accum,
-                       remat_llm=remat, remat_policy=policy)
+                       remat_llm=remat, remat_policy=policy,
+                       remat_policy_overrides=tuple(overrides))
     rt = Runtime(
         dtype=jnp.bfloat16, param_dtype=jnp.float32,
         lora_rank=tcfg.lora.rank, lora_scale=tcfg.lora.scale,
         remat=remat, remat_policy=policy, remat_components=tuple(components),
+        remat_policy_overrides=tuple(overrides),
         attn_impl="auto",
     )
     model = VLAModel(tcfg.model, rt)
@@ -136,6 +138,27 @@ SWEEPS = [
     ("attn_only a2 vit+llm bs16",
      dict(accum=2, remat=True, policy="attn_only", batch_size=16,
           components=("vit", "llm"))),                                     # 23
+    # rows 18-23 postmortem: attn_only on BOTH stacks needs 22.15 G of
+    # 15.75 G HBM (the ViT towers' wide-MLP activations); these split rows
+    # keep full recompute on the ViTs and attn_only on the LLM only.
+    ("llm-attn_only vit-nothing a2",
+     dict(accum=2, remat=True, policy="attn_only",
+          overrides=(("vit", "nothing"),), components=("vit", "llm"))),    # 24
+    ("llm-attn_only vit-nothing a1",
+     dict(accum=1, remat=True, policy="attn_only",
+          overrides=(("vit", "nothing"),), components=("vit", "llm"))),    # 25
+    ("llm-attn_only vit-nothing a2 bs16",
+     dict(accum=2, remat=True, policy="attn_only", batch_size=16,
+          overrides=(("vit", "nothing"),), components=("vit", "llm"))),    # 26
+    ("llm-attn_only vit-nothing a4",
+     dict(accum=4, remat=True, policy="attn_only",
+          overrides=(("vit", "nothing"),), components=("vit", "llm"))),    # 27
+    # row 24 ran out of HBM at runtime by a margin — rematting the bridge
+    # head too (cheap recompute, frees its 24-block activations) may fit.
+    ("llm-attn_only vit/head-nothing a2 +head",
+     dict(accum=2, remat=True, policy="attn_only",
+          overrides=(("vit", "nothing"), ("head", "nothing")),
+          components=("vit", "llm", "head"))),                             # 28
 ]
 
 

@@ -42,6 +42,18 @@ def _convert(value: str, typ) -> Any:
         args = typing.get_args(typ)
         elem = args[0] if args else str
         parts = [p for p in value.split(",") if p]
+        if typing.get_origin(elem) in (tuple, list):
+            # nested pairs use ':' between elements, ',' between pairs —
+            # e.g. --train.remat_policy_overrides vit:nothing,head:nothing
+            inner = typing.get_args(elem)
+            out = [
+                tuple(
+                    _convert(q, inner[min(i, len(inner) - 1)] if inner else str)
+                    for i, q in enumerate(p.split(":"))
+                )
+                for p in parts
+            ]
+            return tuple(out) if origin is tuple else out
         out = [_convert(p, elem) for p in parts]
         return tuple(out) if origin is tuple else out
     return value

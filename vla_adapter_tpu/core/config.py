@@ -361,6 +361,13 @@ class TrainConfig:
     # XLA compile time past practicality (>18 min vs ~3); "nothing" is the
     # measured default (r3 sweep, tools/probes/sweep_remat.py).
     remat_policy: str = "nothing"
+    # Per-component policy overrides, ((component, policy), ...), e.g.
+    # (("vit", "nothing"),) keeps full recompute on the ViT towers while
+    # remat_policy="attn_only" saves the LLM's wide-MLP activations. On the
+    # 16 GB v5e every such split either OOMs or is slower than the default
+    # (measured, tools/probes/sweep_remat.py rows 18-28 / BREAKDOWN.md);
+    # on larger-HBM parts (v5p) the split policy is the intended use.
+    remat_policy_overrides: Tuple[Tuple[str, str], ...] = ()
     # Which stacks rematerialize when remat_llm=True. r3 sweep @ bs8/accum2:
     # ("vit","llm") 0.364 s/step beats full remat 0.369 (the head's
     # activations are small enough to save); ("llm","head") alone OOMs.

@@ -188,7 +188,7 @@ class _BlockScan(nn.Module):
         if self.rt.remat and "head" in self.rt.remat_components:
             from vla_adapter_tpu.models.layers import remat_policy
 
-            cls = nn.remat(cls, policy=remat_policy(self.rt))
+            cls = nn.remat(cls, policy=remat_policy(self.rt, "head"))
         out = cls(self.cfg, self.rt, name="block")(carry, *xs)
         return out, None
 

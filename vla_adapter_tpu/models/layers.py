@@ -44,11 +44,25 @@ class Runtime:
     # recompute at slightly more memory). Measured on the v5e chip in
     # bench.py; see BASELINE.md.
     remat_policy: str = "nothing"
+    # Per-component policy overrides as ((component, policy), ...) pairs —
+    # kept a tuple-of-pairs so Runtime stays hashable. Needed because the
+    # memory-optimal policy differs per stack: "attn_only" on the LLM saves
+    # its wide-MLP activations cheaply (640 tokens), but the same policy on
+    # the two ViT towers must hold ~4.6 GB of 4096/4304-wide activations at
+    # bs8 and OOMs a 16 GB v5e (measured: 22.15 G needed — sweep rows 18-23).
+    remat_policy_overrides: tuple = ()
     # Which stacks rematerialize when remat=True. Measured on v5e @ bs8:
     # full remat and ("llm","vit") time identically (0.445 s/step — the
     # recompute is not the bottleneck at 0.5B) and ("llm",) alone fails to
     # compile within HBM; keep full remat for the memory headroom.
     remat_components: tuple = ("vit", "llm", "head")
+
+    def policy_for(self, component: str) -> str:
+        """Effective remat policy for one stack ('vit' | 'llm' | 'head')."""
+        for name, policy in self.remat_policy_overrides:
+            if name == component:
+                return policy
+        return self.remat_policy
     # Weight-only int8 serving: every Dense stores (kernel_q int8,
     # kernel_scale per-out-channel) instead of a float kernel. Batch-1
     # inference is HBM-bound — halving weight bytes cuts the latency floor.
@@ -78,29 +92,30 @@ class Runtime:
 FP32_RUNTIME = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
 
 
-def remat_policy(rt: Runtime):
-    """Resolve rt.remat_policy to a jax.checkpoint policy."""
+def remat_policy(rt: Runtime, component: str | None = None):
+    """Resolve the (per-component) remat policy to a jax.checkpoint policy."""
     import jax
 
-    if rt.remat_policy == "nothing":
+    policy = rt.policy_for(component) if component else rt.remat_policy
+    if policy == "nothing":
         return jax.checkpoint_policies.nothing_saveable
-    if rt.remat_policy == "attn_only":
+    if policy == "attn_only":
         # Structural policy: Qwen2DecoderLayer/ViTBlock skip the whole-layer
         # wrap and checkpoint only their attention sublayer in-place. Stacks
         # without that split (phi, the bridge head) fall back to full-layer
         # recompute under this policy.
         return jax.checkpoint_policies.nothing_saveable
-    if rt.remat_policy == "dots":
+    if policy == "dots":
         return jax.checkpoint_policies.checkpoint_dots
-    if rt.remat_policy == "dots_no_batch":
+    if policy == "dots_no_batch":
         return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
-    if rt.remat_policy == "mlp_saved":
+    if policy == "mlp_saved":
         # Save exactly the checkpoint_name-tagged wide MLP projections
         # (Qwen2MLP gate/up, ViTMLP fc1) — ~90% of a transformer layer's
         # recompute FLOPs for ~50 MB/layer at micro-batch 4, leaving the
         # cheap norms/attention-projection recompute in the backward.
         return jax.checkpoint_policies.save_only_these_names("mlp_wide")
-    raise ValueError(f"unknown remat_policy {rt.remat_policy!r}")
+    raise ValueError(f"unknown remat_policy {policy!r}")
 
 
 def quantize_rows(x: jnp.ndarray):

@@ -130,7 +130,7 @@ class Qwen2DecoderLayer(nn.Module):
 
     def __call__(self, x, cos, sin, valid, causal: bool,
                  return_kv: bool = False):
-        if (self.rt.remat and self.rt.remat_policy == "attn_only"
+        if (self.rt.remat and self.rt.policy_for("llm") == "attn_only"
                 and "llm" in self.rt.remat_components and not return_kv):
             # Structural remat: checkpoint ONLY the attention half; the MLP
             # (~75% of the layer's FLOPs at 896/4864) stays saved. Same
@@ -259,13 +259,13 @@ class Qwen2Model(nn.Module):
 
         layer_cls: Type[nn.Module] = Qwen2DecoderLayer
         if (rt.remat and "llm" in rt.remat_components
-                and rt.remat_policy != "attn_only"):
+                and rt.policy_for("llm") != "attn_only"):
             from vla_adapter_tpu.models.layers import remat_policy
 
             layer_cls = nn.remat(
                 Qwen2DecoderLayer,
                 static_argnums=(5, 6),
-                policy=remat_policy(rt),
+                policy=remat_policy(rt, "llm"),
             )
 
         scanned = nn.scan(

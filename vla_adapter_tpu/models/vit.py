@@ -105,7 +105,7 @@ class ViTBlock(nn.Module):
                 a = LayerScale(rt, cfg.layer_scale_init, name="ls1")(a)
             return a
 
-        if (rt.remat and rt.remat_policy == "attn_only"
+        if (rt.remat and rt.policy_for("vit") == "attn_only"
                 and "vit" in rt.remat_components):
             # Structural remat (see Qwen2DecoderLayer): only the attention
             # sublayer recomputes in the backward; the 4x-wide MLP stays
@@ -218,10 +218,10 @@ class VisionTransformer(nn.Module):
 
         block_cls = ViTBlock
         if (rt.remat and "vit" in rt.remat_components
-                and rt.remat_policy != "attn_only"):
+                and rt.policy_for("vit") != "attn_only"):
             from vla_adapter_tpu.models.layers import remat_policy
 
-            block_cls = nn.remat(ViTBlock, policy=remat_policy(rt))
+            block_cls = nn.remat(ViTBlock, policy=remat_policy(rt, "vit"))
 
         num_blocks = cfg.resolved_feature_layer + 1
         scanned = nn.scan(

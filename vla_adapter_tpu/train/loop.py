@@ -61,6 +61,7 @@ def build_runtime(cfg: TrainConfig) -> Runtime:
         lora_scale=cfg.lora.scale,
         remat=cfg.remat_llm,
         remat_policy=cfg.remat_policy,
+        remat_policy_overrides=tuple(cfg.remat_policy_overrides),
         remat_components=cfg.remat_components,
     )
 
