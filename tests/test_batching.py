@@ -207,9 +207,11 @@ def test_close_bounded_when_forward_is_wedged():
     """A device forward that never returns must not hang close(): it gives
     up after join_timeout_s, fails the stranded callers, and returns."""
     release = threading.Event()
+    entered = threading.Event()
 
     class Wedged(FakeBatchPredictor):
         def predict_action_batch(self, *a, **kw):
+            entered.set()
             release.wait(timeout=30)  # far longer than the close bound
             return super().predict_action_batch(*a, **kw)
 
@@ -224,7 +226,11 @@ def test_close_bounded_when_forward_is_wedged():
 
     t = threading.Thread(target=call, daemon=True)
     t.start()
-    time.sleep(0.2)  # let the worker pick the request up (now in-flight)
+    # Wait until the worker has actually entered the wedged forward — a
+    # fixed sleep is racy under CPU load: if the worker has not yet picked
+    # req 1 up, req 2 joins the same batch, nothing is left queued, and
+    # close() has no stranded caller to fail.
+    assert entered.wait(timeout=10), "worker never entered the forward"
 
     # a second request queued BEHIND the in-flight forward
     t2 = threading.Thread(target=call, daemon=True)
