@@ -343,6 +343,18 @@ def main():
         rows.append(w8a8_b1_pallas)
     except Exception as e:  # pragma: no cover - depends on chip toolchain
         w8a8_b1_pallas = {"error": repr(e)[:200]}
+    # Scalar-prefetch stacked variant: scanned stacks keep their int8
+    # kernels whole in HBM ("qstack" broadcast collection) and the Pallas
+    # index_map selects the layer's panels — removes the per-layer
+    # dynamic-slice + re-tiling pass (BREAKDOWN.md "data formatting").
+    w8a8_b1_stacked = None
+    try:
+        w8a8_b1_stacked = run(1, k_chain=12, iters=8, act_int8=True,
+                              w8a8_impl="pallas_stacked")
+        w8a8_b1_stacked["mode"] = "w8a8+pallas_stacked"
+        rows.append(w8a8_b1_stacked)
+    except Exception as e:  # pragma: no cover - depends on chip toolchain
+        w8a8_b1_stacked = {"error": repr(e)[:200]}
     best = max(rows, key=lambda r: r["chunks_per_s"])
 
     train_step_s = None

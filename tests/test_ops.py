@@ -177,3 +177,42 @@ def test_dense_w8a8_pallas_impl_matches_xla():
         outs[impl] = jax.jit(d.apply)(params, x)
     np.testing.assert_allclose(np.asarray(outs["pallas"]),
                                np.asarray(outs["xla"]), rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_w8a8_matmul_stacked_matches_flat():
+    """The scalar-prefetch stacked kernel selects layer l out of an
+    (L, K, N) weight stack and matches the flat kernel on that slice
+    (interpret mode) — for every layer, including under lax.scan."""
+    from vla_adapter_tpu.models.layers import quantize_rows
+    from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul, w8a8_matmul_stacked
+
+    L, m, k, n = 3, 96, 128, 384
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, size=(L, k, n)), jnp.int8)
+    ws = jnp.asarray(rng.uniform(0.5, 2.0, size=(L, n)), jnp.float32)
+    xq, rs = quantize_rows(x)
+
+    for layer in range(L):
+        ref = w8a8_matmul(xq, rs, wq[layer], ws[layer], out_dtype=jnp.float32,
+                          block_m=64, block_n=128, interpret=True)
+        got = w8a8_matmul_stacked(
+            xq, rs, wq, ws, jnp.int32(layer), out_dtype=jnp.float32,
+            block_m=64, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def body(carry, layer):
+        y = w8a8_matmul_stacked(xq, rs, wq, ws, layer,
+                                out_dtype=jnp.float32,
+                                block_m=64, block_n=128, interpret=True)
+        return carry + y.sum(), None
+
+    total, _ = jax.jit(
+        lambda: jax.lax.scan(body, jnp.float32(0.0), jnp.arange(L))
+    )()
+    want = sum(
+        float(w8a8_matmul(xq, rs, wq[i], ws[i], out_dtype=jnp.float32,
+                          block_m=64, block_n=128, interpret=True).sum())
+        for i in range(L))
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)

@@ -102,6 +102,19 @@ def test_int8_predictor_close_to_fp(predictor):
     assert np.isfinite(a_a8).all()
     assert np.corrcoef(a_a8.ravel(), a_fp.ravel())[0, 1] > 0.97
 
+    # pallas_stacked backend: same quantized math through the scalar-
+    # prefetch stacked kernel + split qstack collection — matches the XLA
+    # w8a8 backend to fp tolerance
+    pred_st = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
+        center_crop=False, act_int8=True, w8a8_impl="pallas_stacked",
+    )
+    assert "qstack" in pred_st._params_device
+    a_st = pred_st.predict_action(imgs, "fold the towel", proprio=p)
+    np.testing.assert_allclose(a_st, a_a8, rtol=1e-4, atol=1e-4)
+
 
 def test_batch_matches_single(predictor):
     rng = np.random.default_rng(2)

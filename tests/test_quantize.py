@@ -130,6 +130,58 @@ def test_w8a8_forward():
     assert np.isfinite(fwd["max_abs_action_diff"])
 
 
+def test_w8a8_pallas_stacked_matches_xla():
+    """The pallas_stacked serving backend (scan-stacked int8 kernels kept
+    whole in the broadcast "qstack" collection, layer-indexed inside the
+    Pallas kernel via scalar prefetch) computes the same actions as the XLA
+    w8a8 path, and split_qstack moves exactly the stacked-eligible kernels."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.models.quantize import split_qstack
+
+    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
+    model_fp = VLAModel(TINY_CFG, rt_fp)
+    batch = make_dummy_batch(TINY_CFG, 2, np.random.default_rng(3))
+    batch = jax.tree.map(jnp.asarray, batch)
+    kwargs = dict(
+        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
+        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
+        proprio=batch["proprio"],
+    )
+    params = model_fp.init(jax.random.key(0), **kwargs)["params"]
+    q_params = quantize_params(jax.device_get(params))
+
+    rt_x = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
+                       act_int8_min_dim=1, w8a8_impl="xla")
+    out_x = np.asarray(
+        VLAModel(TINY_CFG, rt_x).apply({"params": q_params}, **kwargs)["actions"])
+
+    rt_s = _dc.replace(rt_x, w8a8_impl="pallas_stacked")
+    model_s = VLAModel(TINY_CFG, rt_s)
+    shapes = jax.eval_shape(lambda k: model_s.init(k, **kwargs),
+                            jax.random.key(0))
+    assert "qstack" in shapes
+    # every scanned stack contributed stacked kernels (LLM q/o + mlp, both
+    # ViT towers), each with the full leading layer axis
+    flat = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
+    assert any("language_model" in k for k in flat)
+    assert any("featurizer" in k for k in flat)
+    # the leading axis is the FULL stack depth (TINY: 2 LLM layers)
+    assert all(v.shape[0] == TINY_CFG.llm.num_layers
+               for k, v in flat.items() if "language_model" in k)
+
+    params_s, qstack = split_qstack(q_params, shapes["qstack"])
+    # moved leaves are gone from params and present in qstack
+    flat_p = {jax.tree_util.keystr(p) for p, _ in
+              jax.tree_util.tree_flatten_with_path(params_s)[0]}
+    assert not (flat_p & set(flat))
+    out_s = np.asarray(
+        model_s.apply({"params": params_s, "qstack": qstack},
+                      **kwargs)["actions"])
+    np.testing.assert_allclose(out_s, out_x, rtol=2e-5, atol=2e-5)
+
+
 def test_quantization_report():
     """The validate-before-deploying report: per-kernel round-trip error is
     bounded by one quantization step, and the end-to-end action diff on a

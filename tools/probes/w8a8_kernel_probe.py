@@ -26,9 +26,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from bench import measure_dispatch_overhead  # noqa: E402
 from vla_adapter_tpu.models.layers import quantize_rows  # noqa: E402
-from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul  # noqa: E402
+from vla_adapter_tpu.ops.pallas_matmul import (  # noqa: E402
+    w8a8_matmul,
+    w8a8_matmul_stacked,
+)
 
 L = 48  # layers per timed scan — amortizes dispatch
+R = 24  # chained outer passes per dispatch — amortizes relay overhead
 
 
 def make_fns(m, k, n, block_n):
@@ -62,26 +66,60 @@ def make_fns(m, k, n, block_n):
         y = w8a8_matmul(xq, rs, wq_l, ws_l, block_n=block_n)
         return consume(x, y), None
 
+    def stacked_body(x, layer):
+        # Weights ride as scan CONSTANTS (closure), not xs: no per-layer
+        # (K, N) dynamic-slice copy — the kernel's index_map picks the
+        # layer's panels straight out of the stacked HBM buffer.
+        xq, rs = quantize_rows(x)
+        y = w8a8_matmul_stacked(xq, rs, wq, ws, layer, block_n=block_n)
+        return consume(x, y), None
+
+    # R outer passes per dispatch: the carry feeds pass i+1 from pass i, so
+    # nothing inside a dispatch is memoizable, and one dispatch amortizes
+    # the ~ms relay overhead over R*L matmuls instead of L.
+    def outer(body, xs):
+        def one(x, _):
+            y, _ = lax.scan(body, x, xs)
+            return y, None
+        return one
+
     @jax.jit
     def run_xla(x):
-        y, _ = lax.scan(xla_body, x, (wq, ws))
+        y, _ = lax.scan(outer(xla_body, (wq, ws)), x, None, length=R)
         return y
 
     @jax.jit
     def run_pallas(x):
-        y, _ = lax.scan(pallas_body, x, (wq, ws))
+        y, _ = lax.scan(outer(pallas_body, (wq, ws)), x, None, length=R)
         return y
 
-    return x0, run_xla, run_pallas
+    @jax.jit
+    def run_stacked(x):
+        y, _ = lax.scan(
+            outer(stacked_body, jnp.arange(L, dtype=jnp.int32)),
+            x, None, length=R)
+        return y
+
+    return x0, run_xla, run_pallas, run_stacked
 
 
-def timeit(fn, x, overhead, reps=30):
-    fn(x).block_until_ready()
-    t0 = time.time()
-    for _ in range(reps):
-        r = fn(x)
-    r.block_until_ready()
-    return max((time.time() - t0) / reps - overhead, 1e-9) / L
+def timeit(fn, m, k, overhead, reps=8):
+    # Distinct device-resident input per timed call: the axon relay
+    # memoizes repeated identical executions (returns in ~0.1 ms without
+    # running), so same-input rep loops time nothing. Median, like
+    # bench.timed_calls.
+    rng = np.random.default_rng(7)
+    xs = [jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+          for _ in range(reps + 1)]
+    for x in xs:
+        x.block_until_ready()
+    fn(xs.pop()).block_until_ready()  # compile + warm (input never re-timed)
+    walls = []
+    for x in xs:
+        t0 = time.time()
+        np.asarray(fn(x))
+        walls.append(time.time() - t0)
+    return max(float(np.median(walls)) - overhead, 1e-9) / (L * R)
 
 
 def main():
@@ -97,14 +135,16 @@ def main():
     ]
     for m, k, n in shapes:
         ideal = 2 * m * k * n / 394e12 * 1e6
-        x0, run_xla, run_pallas = make_fns(m, k, n, blocks[0])
-        t_x = timeit(run_xla, x0, overhead)
+        _, run_xla, run_pallas, _ = make_fns(m, k, n, blocks[0])
+        t_x = timeit(run_xla, m, k, overhead)
         print(f"{m}x{k}x{n}: xla {t_x * 1e6:7.2f} us"
               f"  (int8 ideal {ideal:6.2f})", flush=True)
         for bn in blocks:
-            _, _, run_p = make_fns(m, k, n, bn)
-            t_p = timeit(run_p, x0, overhead)
-            print(f"  pallas[bn={bn}] {t_p * 1e6:7.2f}", flush=True)
+            _, _, run_p, run_s = make_fns(m, k, n, bn)
+            t_p = timeit(run_p, m, k, overhead)
+            t_s = timeit(run_s, m, k, overhead)
+            print(f"  pallas[bn={bn}] {t_p * 1e6:7.2f}"
+                  f"   stacked[bn={bn}] {t_s * 1e6:7.2f}", flush=True)
 
 
 if __name__ == "__main__":

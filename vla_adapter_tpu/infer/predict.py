@@ -49,8 +49,10 @@ class Predictor:
     # batched-throughput lever. Check models/quantize.forward_error_report
     # (act_int8=True) and task success rates before deploying.
     act_int8: bool = False
-    # W8A8 matmul backend: "xla" or "pallas" (ops/pallas_matmul.py — the
-    # hand-pipelined kernel for the small-row batch-1 shapes; see
+    # W8A8 matmul backend: "xla", "pallas", or "pallas_stacked"
+    # (ops/pallas_matmul.py — the hand-pipelined kernels for the small-row
+    # batch-1 shapes; "pallas_stacked" additionally keeps the scanned
+    # stacks' int8 kernels unsliced in HBM via scalar-prefetch indexing; see
     # models/layers.Runtime.w8a8_impl for the measured dispatch guidance).
     w8a8_impl: str = "xla"
     # Ship uint8 pixels and normalize on-device: halves host->device bytes
@@ -60,6 +62,7 @@ class Predictor:
     device_normalize: bool = True
 
     def __post_init__(self):
+        variables = {"params": self.params}
         if self.int8 or self.act_int8:
             import dataclasses as _dc
 
@@ -69,14 +72,45 @@ class Predictor:
             self.rt = _dc.replace(self.rt, weights_int8=True,
                                   act_int8=self.act_int8,
                                   w8a8_impl=self.w8a8_impl)
+            variables = {"params": self.params}
         self.model = VLAModel(self.cfg, self.rt)
+        if self.act_int8 and self.w8a8_impl == "pallas_stacked":
+            # The scanned stacks expect their int8 kernels in the broadcast
+            # "qstack" collection (full (L, in, out) stacks, never scan-
+            # sliced — models/layers.py). Discover which kernels those are
+            # from the model's own variable structure (shape-only trace)
+            # and split the quantized tree accordingly.
+            from vla_adapter_tpu.models.quantize import split_qstack
+
+            cfg, v = self.cfg, self.cfg.vision
+            shapes = jax.eval_shape(
+                lambda k: self.model.init(
+                    k,
+                    input_ids=jnp.zeros((1, cfg.max_text_tokens), jnp.int32),
+                    prompt_len=jnp.full((1,), 8, jnp.int32),
+                    text_valid=jnp.ones((1, cfg.max_text_tokens), jnp.int32),
+                    pixel_values=jnp.zeros(
+                        (1, v.num_images, v.primary.image_size,
+                         v.primary.image_size, v.channels_per_image),
+                        self.rt.dtype),
+                    proprio=jnp.zeros(
+                        (1, cfg.constants.proprio_dim), jnp.float32)
+                    if cfg.use_proprio else None,
+                ),
+                jax.random.key(0),
+            )
+            if "qstack" in shapes:
+                params, qstack = split_qstack(self.params, shapes["qstack"])
+                variables = {"params": params, "qstack": qstack}
+            # else: act_int8_min_dim gated every kernel off the stacked
+            # path — the plain params tree is the whole model.
         self.image_processor = image_processor_for(self.cfg.vision)
         self.transform = VLABatchTransform(
             self.cfg, self.tokenize, action_tokenizer=None,  # not needed here
             image_processor=self.image_processor,
         )
         self._fwd = jax.jit(self._forward)
-        self._params_device = jax.device_put(self.params)
+        self._params_device = jax.device_put(variables)
         mean, std = self.image_processor.norm_constants()
         self._pix_mean, self._pix_std = jnp.asarray(mean), jnp.asarray(std)
         self._pixel_pool = None
@@ -90,7 +124,7 @@ class Predictor:
 
         self._pixel_pool = PixelPool(workers)
 
-    def _forward(self, params, ids, prompt_len, valid, pixels, proprio):
+    def _forward(self, variables, ids, prompt_len, valid, pixels, proprio):
         if pixels.dtype == jnp.uint8:
             # device-side twin of ImageProcessor's normalization: fp32
             # (x/255 - mean)/std, then the runtime cast — bit-identical to
@@ -98,7 +132,7 @@ class Predictor:
             pixels = (pixels.astype(jnp.float32) / 255.0 - self._pix_mean)
             pixels = (pixels / self._pix_std).astype(self.rt.dtype)
         return self.model.apply(
-            {"params": params},
+            variables,
             input_ids=ids,
             prompt_len=prompt_len,
             text_valid=valid,

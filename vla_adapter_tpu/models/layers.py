@@ -80,12 +80,24 @@ class Runtime:
     act_int8: bool = False
     act_int8_min_dim: int = 256
     # W8A8 matmul implementation: "xla" (lax.dot_general with fused
-    # quant/dequant epilogues) or "pallas" (ops/pallas_matmul.w8a8_matmul —
+    # quant/dequant epilogues), "pallas" (ops/pallas_matmul.w8a8_matmul —
     # hand-pipelined weight streaming with the dequant fused in VMEM,
     # targeting the small-row serving shapes BREAKDOWN.md measured at only
-    # ~50-75% of the int8 roofline under XLA). Inference-only: the pallas
-    # kernel defines no VJP, and every weights_int8 Dense is frozen anyway.
+    # ~50-75% of the int8 roofline under XLA), or "pallas_stacked"
+    # (w8a8_matmul_stacked — scan-stacked weights stay in HBM and the
+    # kernel's scalar-prefetch index_map DMAs the current layer's panels
+    # directly, eliminating the per-layer (K, N) dynamic-slice copy +
+    # re-tiling pass the device trace charges ~0.4 ms/forward to;
+    # BREAKDOWN.md "data formatting"). Inference-only: these kernels define
+    # no VJP, and every weights_int8 Dense is frozen anyway.
     w8a8_impl: str = "xla"
+    # Internal, set by the scanned stacks (Qwen2Model / VisionTransformer)
+    # when w8a8_impl == "pallas_stacked": number of scan iterations, so a
+    # Dense inside the scan declares its quantized kernel as the FULL
+    # (L, in, out) stack in the broadcast "qstack" collection instead of a
+    # per-iteration (in, out) slice in "params". 0 = not inside a stacked
+    # scan. Build the split variable dict with models/quantize.split_qstack.
+    stacked_layers: int = 0
 
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
@@ -141,8 +153,54 @@ class Dense(nn.Module):
     kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, layer=None) -> jnp.ndarray:
         in_features = x.shape[-1]
+        if (
+            self.rt.weights_int8
+            and self.rt.act_int8
+            and self.rt.w8a8_impl == "pallas_stacked"
+            and self.rt.stacked_layers > 0
+            and layer is not None
+            and min(in_features, self.features) >= self.rt.act_int8_min_dim
+        ):
+            # Stacked-serving path: this Dense sits inside a layer scan
+            # (Qwen2Model / VisionTransformer set rt.stacked_layers and
+            # thread the loop index in as `layer`). The quantized kernel is
+            # declared as the FULL (L, in, out) stack in the broadcast
+            # "qstack" collection — nn.scan never slices it — and the
+            # Pallas kernel's scalar-prefetch index_map reads the current
+            # layer's weight panels straight out of the stacked HBM buffer.
+            from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul_stacked
+
+            assert self.rt.lora_rank == 0, (
+                "pallas_stacked serving expects LoRA merged into the base "
+                "weights (weights/merge.py) before quantization")
+            L = self.rt.stacked_layers
+            kernel_q = self.variable(
+                "qstack", "kernel_q",
+                lambda: jnp.zeros((L, in_features, self.features), jnp.int8),
+            ).value
+            kernel_scale = self.variable(
+                "qstack", "kernel_scale",
+                lambda: jnp.ones((L, self.features), jnp.float32),
+            ).value
+            xq, row_scale = quantize_rows(x)
+            lead = x.shape[:-1]
+            y = w8a8_matmul_stacked(
+                xq.reshape(-1, in_features),
+                row_scale.reshape(-1, 1),
+                kernel_q,
+                kernel_scale,
+                layer,
+                out_dtype=self.rt.dtype,
+            ).reshape(*lead, self.features)
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    self.rt.param_dtype,
+                )
+                y = y + bias.astype(self.rt.dtype)
+            return y
         if self.rt.weights_int8:
             kernel_q = self.param(
                 "kernel_q",

@@ -64,6 +64,53 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return rec(params, ())
 
 
+def split_qstack(
+    q_params: Dict[str, Any], qstack_shapes: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split a :func:`quantize_params` tree for ``pallas_stacked`` serving.
+
+    With ``Runtime(w8a8_impl="pallas_stacked")`` the scanned stacks declare
+    their stacked-eligible int8 kernels in the broadcast "qstack" collection
+    (models/layers.py) rather than scan-sliced "params". ``qstack_shapes``
+    is that collection's tree from ``model.init`` / ``jax.eval_shape`` —
+    its paths name exactly the kernels to move. Returns ``(params,
+    qstack)``: leaves at those paths are MOVED out of the quantized tree
+    (shape-checked against the expectation); empty dicts left behind are
+    pruned. The returned pair applies as
+    ``model.apply({"params": params, "qstack": qstack}, ...)``.
+    """
+
+    def rec(shape_node, param_node, path):
+        moved = {}
+        for key, sub in shape_node.items():
+            assert key in param_node, f"qstack path missing in params: {path + (key,)}"
+            if isinstance(sub, dict):
+                moved[key] = rec(sub, param_node[key], path + (key,))
+                if not param_node[key]:
+                    del param_node[key]
+            else:
+                leaf = param_node.pop(key)
+                expect = tuple(sub.shape)
+                got = tuple(np.shape(leaf))
+                assert got == expect, (
+                    f"stacked kernel {path + (key,)}: shape {got} != "
+                    f"expected {expect}")
+                moved[key] = leaf
+        return moved
+
+    params = _copy_tree(q_params)
+    qstack = rec(qstack_shapes, params, ())
+    return params, qstack
+
+
+def _copy_tree(node):
+    """Dict-structure deep copy (leaves shared, containers fresh) so
+    split_qstack can pop without mutating the caller's tree."""
+    if isinstance(node, dict):
+        return {k: _copy_tree(v) for k, v in node.items()}
+    return node
+
+
 def quantization_report(params: Dict[str, Any],
                         top_k: int = 10) -> Dict[str, Any]:
     """Quantization-error report: per-kernel max-abs and relative error of

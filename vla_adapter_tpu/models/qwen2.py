@@ -46,22 +46,23 @@ class Qwen2Attention(nn.Module):
                             use_bias=cfg.attention_bias, rt=rt)
         self.o_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
 
-    def _qkv(self, x):
+    def _qkv(self, x, layer=None):
         cfg = self.cfg
         b, s, _ = x.shape
-        q = self.q_proj(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = self.k_proj(x).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = self.v_proj(x).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = self.q_proj(x, layer).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = self.k_proj(x, layer).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = self.v_proj(x, layer).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         return q, k, v
 
-    def __call__(self, x, cos, sin, valid, causal: bool, return_kv: bool = False):
+    def __call__(self, x, cos, sin, valid, causal: bool, return_kv: bool = False,
+                 layer=None):
         cfg, rt = self.cfg, self.rt
         b, s, _ = x.shape
-        q, k, v = self._qkv(x)
+        q, k, v = self._qkv(x, layer)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
         out = dot_product_attention(q, k, v, valid, causal=causal, impl=rt.attn_impl)
-        out = self.o_proj(out.reshape(b, s, cfg.num_heads * cfg.head_dim))
+        out = self.o_proj(out.reshape(b, s, cfg.num_heads * cfg.head_dim), layer)
         if return_kv:
             return out, (k, v)  # roped k — directly cacheable
         return out
@@ -107,14 +108,14 @@ class Qwen2MLP(nn.Module):
         self.up_proj = Dense(cfg.intermediate_size, use_bias=False, rt=rt)
         self.down_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
 
-    def __call__(self, x):
+    def __call__(self, x, layer=None):
         # checkpoint_name tags the two FLOPs-heavy up-projections so the
         # "mlp_saved" remat policy (layers.remat_policy) can save exactly
         # these in the backward: recomputing them is ~90% of a layer's
         # recompute FLOPs, while storing them is cheap at micro-batch sizes.
-        gate = checkpoint_name(self.gate_proj(x), "mlp_wide")
-        up = checkpoint_name(self.up_proj(x), "mlp_wide")
-        return self.down_proj(nn.silu(gate) * up)
+        gate = checkpoint_name(self.gate_proj(x, layer), "mlp_wide")
+        up = checkpoint_name(self.up_proj(x, layer), "mlp_wide")
+        return self.down_proj(nn.silu(gate) * up, layer)
 
 
 class Qwen2DecoderLayer(nn.Module):
@@ -129,7 +130,7 @@ class Qwen2DecoderLayer(nn.Module):
         self.mlp = Qwen2MLP(cfg, rt)
 
     def __call__(self, x, cos, sin, valid, causal: bool,
-                 return_kv: bool = False):
+                 return_kv: bool = False, layer=None):
         if (self.rt.remat and self.rt.policy_for("llm") == "attn_only"
                 and "llm" in self.rt.remat_components and not return_kv):
             # Structural remat: checkpoint ONLY the attention half; the MLP
@@ -140,19 +141,20 @@ class Qwen2DecoderLayer(nn.Module):
             # in Qwen2Model is skipped for this policy.
             def attn_delta(mdl, h):
                 return mdl.self_attn(h, cos, sin, valid, causal,
-                                     return_kv=False)
+                                     return_kv=False, layer=layer)
 
             h = self.input_layernorm(x)
             x = x + nn.remat(attn_delta)(self, h)
             h = self.post_attention_layernorm(x)
-            return x + self.mlp(h)
+            return x + self.mlp(h, layer)
         h = self.input_layernorm(x)
-        attn = self.self_attn(h, cos, sin, valid, causal, return_kv=return_kv)
+        attn = self.self_attn(h, cos, sin, valid, causal, return_kv=return_kv,
+                              layer=layer)
         if return_kv:
             attn, kv = attn
         x = x + attn
         h = self.post_attention_layernorm(x)
-        out = x + self.mlp(h)
+        out = x + self.mlp(h, layer)
         return (out, kv) if return_kv else out
 
     def decode_step(self, x, k_cache, v_cache, pos):
@@ -179,9 +181,9 @@ class _ScanBody(nn.Module):
     return_kv: bool = False
 
     @nn.compact
-    def __call__(self, carry, cos, sin, valid):
+    def __call__(self, carry, layer_idx, cos, sin, valid):
         out = self.layer_cls(self.cfg, self.rt, name="layer")(
-            carry, cos, sin, valid, self.causal, self.return_kv
+            carry, cos, sin, valid, self.causal, self.return_kv, layer_idx
         )
         if self.return_kv:
             out, kv = out
@@ -248,6 +250,14 @@ class Qwen2Model(nn.Module):
         return_kv: bool = False,
     ):
         cfg, rt = self.cfg, self.rt
+        if rt.w8a8_impl == "pallas_stacked":
+            # Stacked w8a8 serving: Denses inside the scan keep their int8
+            # kernels as the full (L, in, out) stack in the broadcast
+            # "qstack" collection (models/layers.py) — the scan slices
+            # nothing; the Pallas kernel indexes layers in HBM.
+            import dataclasses as _dc
+
+            rt = _dc.replace(rt, stacked_layers=cfg.num_layers)
         if inputs_embeds is None:
             inputs_embeds = self.embed(input_ids)
         x = inputs_embeds.astype(rt.dtype)
@@ -271,14 +281,16 @@ class Qwen2Model(nn.Module):
         scanned = nn.scan(
             _ScanBody,
             variable_axes={"params": 0},
+            variable_broadcast="qstack",
             split_rngs={"params": True},
             length=cfg.num_layers,
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(cfg=cfg, rt=rt, causal=causal, layer_cls=layer_cls,
           return_kv=return_kv, name="layers")
-        x, ys = scanned(x, cos, sin, valid)
+        x, ys = scanned(x, jnp.arange(cfg.num_layers, dtype=jnp.int32),
+                        cos, sin, valid)
         if return_kv:
             per_layer_inputs, kv = ys
         else:

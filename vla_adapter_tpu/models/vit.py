@@ -41,19 +41,19 @@ class ViTAttention(nn.Module):
     rt: Runtime
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layer=None):
         cfg, rt = self.cfg, self.rt
         b, n, _ = x.shape
         h, d = cfg.num_heads, cfg.head_dim
-        q = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="q_proj")(x)
-        k = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="k_proj")(x)
-        v = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="v_proj")(x)
+        q = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="q_proj")(x, layer)
+        k = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="k_proj")(x, layer)
+        v = Dense(h * d, use_bias=cfg.qkv_bias, rt=rt, name="v_proj")(x, layer)
         q = q.reshape(b, n, h, d)
         k = k.reshape(b, n, h, d)
         v = v.reshape(b, n, h, d)
         out = dot_product_attention(q, k, v, None, causal=False, impl=rt.attn_impl)
         out = out.reshape(b, n, h * d)
-        return Dense(cfg.hidden_size, rt=rt, name="out_proj")(out)
+        return Dense(cfg.hidden_size, rt=rt, name="out_proj")(out, layer)
 
 
 class ViTMLP(nn.Module):
@@ -61,14 +61,14 @@ class ViTMLP(nn.Module):
     rt: Runtime
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layer=None):
         cfg, rt = self.cfg, self.rt
         # Tagged for the "mlp_saved" remat policy (see models/layers.py):
         # the 4x-wide fc1 output is the block's dominant recompute cost.
-        x = checkpoint_name(Dense(cfg.mlp_dim, rt=rt, name="fc1")(x),
+        x = checkpoint_name(Dense(cfg.mlp_dim, rt=rt, name="fc1")(x, layer),
                             "mlp_wide")
         x = activation(cfg.mlp_activation)(x)
-        return Dense(cfg.hidden_size, rt=rt, name="fc2")(x)
+        return Dense(cfg.hidden_size, rt=rt, name="fc2")(x, layer)
 
 
 class LayerScale(nn.Module):
@@ -96,11 +96,11 @@ class ViTBlock(nn.Module):
     rt: Runtime
 
     @nn.compact
-    def __call__(self, x, lang: Optional[jnp.ndarray] = None):
+    def __call__(self, x, lang: Optional[jnp.ndarray] = None, layer=None):
         cfg, rt = self.cfg, self.rt
 
         def attn_delta(mdl, h):
-            a = ViTAttention(cfg, rt, name="attn")(h)
+            a = ViTAttention(cfg, rt, name="attn")(h, layer)
             if cfg.layer_scale_init is not None:
                 a = LayerScale(rt, cfg.layer_scale_init, name="ls1")(a)
             return a
@@ -124,12 +124,12 @@ class ViTBlock(nn.Module):
             # apply an O(1) random modulation in every block at step 0)
             zeros = nn.initializers.zeros
             gamma = Dense(cfg.hidden_size, rt=rt, kernel_init=zeros,
-                          name="film_scale")(lang)
+                          name="film_scale")(lang, layer)
             beta = Dense(cfg.hidden_size, rt=rt, kernel_init=zeros,
-                         name="film_shift")(lang)
+                         name="film_shift")(lang, layer)
             x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
         h = ViTMLP(cfg, rt, name="mlp")(
-            LayerNorm(cfg.layernorm_eps, rt=rt, name="norm2")(x)
+            LayerNorm(cfg.layernorm_eps, rt=rt, name="norm2")(x), layer
         )
         if cfg.layer_scale_init is not None:
             h = LayerScale(rt, cfg.layer_scale_init, name="ls2")(h)
@@ -142,8 +142,9 @@ class _BlockScanBody(nn.Module):
     block_cls: Type[nn.Module]
 
     @nn.compact
-    def __call__(self, carry, lang):
-        return self.block_cls(self.cfg, self.rt, name="block")(carry, lang), None
+    def __call__(self, carry, layer_idx, lang):
+        return self.block_cls(self.cfg, self.rt, name="block")(
+            carry, lang, layer_idx), None
 
 
 class VisionTransformer(nn.Module):
@@ -224,14 +225,21 @@ class VisionTransformer(nn.Module):
             block_cls = nn.remat(ViTBlock, policy=remat_policy(rt, "vit"))
 
         num_blocks = cfg.resolved_feature_layer + 1
+        if rt.w8a8_impl == "pallas_stacked":
+            # Stacked w8a8 serving: see Qwen2Model — block Denses keep the
+            # full int8 stack in the broadcast "qstack" collection.
+            import dataclasses as _dc
+
+            rt = _dc.replace(rt, stacked_layers=num_blocks)
         scanned = nn.scan(
             _BlockScanBody,
             variable_axes={"params": 0},
+            variable_broadcast="qstack",
             split_rngs={"params": True},
             length=num_blocks,
-            in_axes=(nn.broadcast,),
+            in_axes=(0, nn.broadcast),
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(cfg=cfg, rt=rt, block_cls=block_cls, name="blocks")
-        x, _ = scanned(x, lang)
+        x, _ = scanned(x, jnp.arange(num_blocks, dtype=jnp.int32), lang)
 
         return x[:, cfg.num_prefix_tokens:]

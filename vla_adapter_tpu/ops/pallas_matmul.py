@@ -55,6 +55,84 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _w8a8_stacked_kernel(l_ref, xq_ref, rs_ref, wq_ref, ws_ref, o_ref):
+    """Same cell math as _w8a8_kernel; the layer index l_ref is consumed by
+    the BlockSpec index_maps (scalar prefetch), not by the body."""
+    del l_ref
+    acc = jax.lax.dot_general(
+        xq_ref[...],
+        wq_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = (
+        acc.astype(jnp.float32) * rs_ref[...] * ws_ref[...]
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret")
+)
+def w8a8_matmul_stacked(
+    xq: jnp.ndarray,
+    row_scale: jnp.ndarray,
+    kernel_q: jnp.ndarray,
+    kernel_scale: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    block_m: int = 640,
+    block_n: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """w8a8_matmul against ONE layer of a scan-stacked weight array.
+
+    kernel_q: (L, K, N) int8; kernel_scale: (L, N) f32; layer: int32 scalar
+    selecting the layer. The layer index rides Pallas scalar prefetch and is
+    applied inside the weight BlockSpec index_maps, so weight panels are
+    DMA'd straight out of the stacked HBM buffer — no (K, N) dynamic-slice
+    copy materializes per scan iteration (the per-layer re-tiling pass the
+    device trace attributes ~0.4 ms/forward to; BREAKDOWN.md).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = xq.shape
+    n = kernel_q.shape[2]
+    block_m = min(block_m, _round_up(m, 32))
+    block_n = min(block_n, _round_up(n, 128))
+    grid = (pl.cdiv(m, block_m), pl.cdiv(n, block_n))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((None, k, block_n), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((None, 1, block_n), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
+    )
+    return pl.pallas_call(
+        _w8a8_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=xq.size + k * n
+            + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        xq,
+        row_scale.astype(jnp.float32),
+        kernel_q,
+        kernel_scale.astype(jnp.float32).reshape(kernel_q.shape[0], 1, n),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret")
 )

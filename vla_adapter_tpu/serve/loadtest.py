@@ -297,7 +297,8 @@ def main(argv: Optional[List[str]] = None) -> Dict:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--act-int8", action="store_true")
-    p.add_argument("--w8a8-impl", default="xla", choices=("xla", "pallas"),
+    p.add_argument("--w8a8-impl", default="xla",
+                   choices=("xla", "pallas", "pallas_stacked"),
                    help="w8a8 matmul backend (ops/pallas_matmul.py)")
     p.add_argument("--dynamic-batch", action="store_true")
     p.add_argument("--prewarm", action="store_true",
