@@ -381,6 +381,7 @@ def main():
             "w8a8": w8a8_row,
             "w8a8_batch1": w8a8_b1,
             "w8a8_batch1_pallas_mm": w8a8_b1_pallas,
+            "w8a8_batch1_pallas_stacked": w8a8_b1_stacked,
             "latency_s_batch1": latency_row["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),
