@@ -200,7 +200,7 @@ def bench_train_step(overhead):
         dtype=jnp.bfloat16, param_dtype=jnp.float32,
         lora_rank=tcfg.lora.rank, lora_scale=tcfg.lora.scale,
         remat=True, remat_policy=tcfg.remat_policy,
-        remat_components=tcfg.remat_components, attn_impl="auto",
+        remat_components=tcfg.remat_components, attn_impl="auto_bwd",
     )
     model = VLAModel(tcfg.model, rt)
     tx = make_optimizer(tcfg.optim)
@@ -331,10 +331,16 @@ def main():
     w8a8_row["mode"] = "w8a8"
     w8a8_b1 = run(1, k_chain=12, iters=8, act_int8=True)
     w8a8_b1["mode"] = "w8a8"
+    # Batch 2: the measured per-chip throughput peak (round-3 sweep:
+    # b1 106.8 / b2 110.1 / b4 108.8 / b8 110.8 / b16 104.5 chunks/s) —
+    # weight streaming amortizes over two chunks while attention cost is
+    # still batch-1-like.
+    w8a8_b2 = run(2, k_chain=12, iters=8, act_int8=True)
+    w8a8_b2["mode"] = "w8a8"
     # Same batch-1 w8a8 math through the hand-pipelined Pallas matmul
     # (ops/pallas_matmul.py) instead of XLA's dot+epilogue fusions. Guarded:
     # a kernel regression must degrade the headline, not break the bench.
-    rows = sweep + [int8_row, w8a8_row, w8a8_b1]
+    rows = sweep + [int8_row, w8a8_row, w8a8_b1, w8a8_b2]
     w8a8_b1_pallas = None
     try:
         w8a8_b1_pallas = run(1, k_chain=12, iters=8, act_int8=True,
@@ -380,6 +386,7 @@ def main():
             "int8": int8_row,
             "w8a8": w8a8_row,
             "w8a8_batch1": w8a8_b1,
+            "w8a8_batch2": w8a8_b2,
             "w8a8_batch1_pallas_mm": w8a8_b1_pallas,
             "w8a8_batch1_pallas_stacked": w8a8_b1_stacked,
             "latency_s_batch1": latency_row["s_per_forward"],

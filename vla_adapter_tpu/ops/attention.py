@@ -125,11 +125,11 @@ def dot_product_attention(
     """Multi-head (optionally grouped-query) attention.
 
     q: (B, S, H, D); k, v: (B, S, Hkv, D); valid: (B, S) True=real token.
-    impl: 'auto' | 'pallas' | 'xla'.
+    impl: 'auto' | 'auto_bwd' (training crossover) | 'pallas' | 'xla'.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    if impl == "auto":
+    if impl in ("auto", "auto_bwd"):
         # Measured on v5e (round 2, per-layer microbench at batch 16): the
         # VPU-lean kernel (additive mask bias, unnormalized bf16 probs,
         # deferred 1/l, ~1.3 MB score blocks) beats XLA's fused attention
@@ -138,12 +138,22 @@ def dot_product_attention(
         # included; batch-1 is below tunnel measurement noise for both).
         # This regime is VPU/HBM-bound: XLA materializes the score matrix
         # in HBM, the kernel keeps it in VMEM. Tiny sequences stay on XLA
-        # (padding overhead; nothing to win), and so do tiny batches: at
+        # (padding overhead; nothing to win), and so do small batches: at
         # batch 1 the grid has ~20 cells, the pipeline never fills, and the
         # measured flagship batch-1 latency regressed 12.3 -> 13.8 ms under
-        # the kernel while batch 16 improved 158 -> 151 ms (w8a8).
+        # the kernel while batch 16 improved 158 -> 151 ms (w8a8). The
+        # round-3 end-to-end w8a8 batch sweep put the crossover at 16, not
+        # 4: batch-4 forwards ran 42.1 ms under the kernel vs 36.8 ms on
+        # XLA (94.9 -> 108.8 chunks/s) and batch-8 was a wash (109.5 vs
+        # 110.8), while batch 16 kept favoring the kernel (104.5 vs 101.3).
+        # Gradient paths are different: with the custom-VJP recompute
+        # backward the kernel still wins at micro-batch 4 (flagship LoRA
+        # step 0.364 vs 0.370 s/step), so training call sites pass
+        # "auto_bwd" to keep the batch-4 threshold.
+        min_batch = 4 if impl == "auto_bwd" else 16
         use_pallas = (
-            _supports_pallas() and q.shape[1] >= 128 and q.shape[0] >= 4
+            _supports_pallas() and q.shape[1] >= 128
+            and q.shape[0] >= min_batch
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":

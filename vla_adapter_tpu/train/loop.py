@@ -56,7 +56,7 @@ def build_runtime(cfg: TrainConfig) -> Runtime:
     return Runtime(
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,
-        attn_impl="auto",
+        attn_impl="auto_bwd",
         lora_rank=cfg.lora.rank if cfg.lora.enabled else 0,
         lora_scale=cfg.lora.scale,
         remat=cfg.remat_llm,
