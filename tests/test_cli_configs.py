@@ -48,3 +48,9 @@ def test_all_cli_configs_parse():
         ("vit", "nothing"), ("head", "nothing"))
     with pytest.raises(KeyError):
         parse_config(DeployConfig, ["--prot", "1"])
+    # malformed pair elements fail AT PARSE TIME with a pointer to the
+    # flag, not minutes later as an unpack error inside jit tracing
+    for bad in ("vit", "vit:nothing:extra", "vit:nothing,head"):
+        with pytest.raises(SystemExit, match="':'-separated"):
+            parse_config(FinetuneCLIConfig,
+                         ["--train.remat_policy_overrides", bad])

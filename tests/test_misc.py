@@ -154,3 +154,45 @@ def test_vlm_dataset_prepare_offline(tmp_path):
         tf.add(src, arcname="imgs")
     top = extract_archive(tdir / "x.tar.gz", tdir)
     assert top.name == "imgs" and len(list(top.iterdir())) == 3
+
+
+def test_update_readme_bench_render_covers_every_bench_row():
+    """The README regenerator's headline-candidate list must stay in sync
+    with bench.py's rows — regression for the round-3 review finding where
+    a w8a8_batch2 headline (the measured per-chip peak) asserted out."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "update_readme_bench",
+        pathlib.Path(__file__).parent.parent / "tools" /
+        "update_readme_bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def row(batch, cps, mode=None):
+        r = {"batch": batch, "chunks_per_s": cps, "actions_per_s": cps * 8,
+             "mfu": 0.7, "s_per_forward": batch / cps}
+        if mode:
+            r["mode"] = mode
+        return r
+
+    extra = {
+        "bf16_sweep": [row(1, 80.0), row(16, 84.0)],
+        "int8": row(16, 86.0),
+        "w8a8": row(16, 104.0, "w8a8"),
+        "w8a8_batch1": row(1, 107.0, "w8a8"),
+        "w8a8_batch2": row(2, 110.1, "w8a8"),
+        "w8a8_batch1_pallas_mm": row(1, 95.0, "w8a8+pallas_mm"),
+        # the error shape bench.py emits when a backend fails must not break
+        "w8a8_batch1_pallas_stacked": {"error": "RuntimeError(...)"},
+        "latency_s_batch1": 0.0125,
+        "train_step_s_bs8_lora64": 0.364,
+        "baseline_chunks_per_s_h100": 27.78,
+    }
+    rec = {"parsed": {"value": 110.1, "extra": extra}}
+    block = mod.render(rec, "BENCH_r03.json")
+    assert "batch 2, w8a8 (driver headline)" in block
+    assert "110.10 chunks/s" in block
+    # non-headline optional rows are rendered too
+    assert "w8a8 + Pallas matmul" in block

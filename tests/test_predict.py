@@ -116,6 +116,53 @@ def test_int8_predictor_close_to_fp(predictor):
     np.testing.assert_allclose(a_st, a_a8, rtol=1e-4, atol=1e-4)
 
 
+def test_prequantized_rt_predictor(predictor):
+    """The serve/loadtest construction pattern: params already in the
+    quantized layout, the serving mode carried entirely in `rt`
+    (int8=act_int8=False flags). Predictor must key the qstack split off
+    the EFFECTIVE runtime, not its constructor flags — regression for the
+    round-3 review finding where this path crashed with
+    ScopeCollectionNotFound under pallas_stacked."""
+    import dataclasses
+
+    from vla_adapter_tpu.infer.predict import Predictor
+    from vla_adapter_tpu.models.quantize import quantize_params
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+            for _ in range(2)]
+    p = rng.normal(size=8)
+    rt_q = dataclasses.replace(
+        predictor.rt, weights_int8=True, act_int8=True, act_int8_min_dim=1,
+        w8a8_impl="pallas_stacked")
+    pred_rt = Predictor(
+        cfg=predictor.cfg,
+        params=quantize_params(jax.device_get(predictor.params)),
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=rt_q, center_crop=False,  # int8/act_int8 flags deliberately off
+    )
+    assert "qstack" in pred_rt._params_device
+    # identical to the flag-constructed variant (which quantizes itself)
+    pred_flags = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
+        center_crop=False, act_int8=True, w8a8_impl="pallas_stacked",
+    )
+    a_rt = pred_rt.predict_action(imgs, "wipe the table", proprio=p)
+    a_fl = pred_flags.predict_action(imgs, "wipe the table", proprio=p)
+    np.testing.assert_allclose(a_rt, a_fl, rtol=1e-5, atol=1e-5)
+
+    # a non-xla backend without act_int8 anywhere would silently serve on
+    # XLA — must be rejected loudly instead
+    with pytest.raises(ValueError, match="act_int8"):
+        Predictor(
+            cfg=predictor.cfg, params=predictor.params,
+            tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+            rt=predictor.rt, center_crop=False, w8a8_impl="pallas",
+        )
+
+
 def test_batch_matches_single(predictor):
     rng = np.random.default_rng(2)
     imgs1 = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)

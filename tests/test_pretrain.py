@@ -309,6 +309,14 @@ def test_instruct_merge_builders_end_to_end(tmp_path, monkeypatch):
     with pytest.raises(AssertionError, match="missing"):
         build_lrv_instruct(base)
 
+    # standalone `--build lrv` (no lvis4v build first): the 888k base is
+    # absent, so the builder produces just the 1008k mix instead of dying
+    # with FileNotFoundError after writing it
+    solo = tmp_path / "solo-instruct"
+    _stage_instruct_fixtures(solo)
+    outs = build_lrv_instruct(solo)
+    assert [o.name for o in outs] == ["llava_v1_5_lrv_mix1008k.json"]
+
     # the merged JSON drives FinetuneDataset end-to-end
     monkeypatch.setattr(FinetuneDataset, "_pixels",
                         lambda self, r: np.zeros((28, 28, 3), np.float32))

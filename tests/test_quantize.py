@@ -182,6 +182,55 @@ def test_w8a8_pallas_stacked_matches_xla():
     np.testing.assert_allclose(out_s, out_x, rtol=2e-5, atol=2e-5)
 
 
+def test_cached_decode_under_pallas_stacked():
+    """KV-cached autoregressive decode works against the split
+    params/qstack layout and matches the uncached stacked decode —
+    regression for the round-3 review finding where Qwen2Decode's
+    decode_step dropped the layer index and crashed looking up kernel_q
+    in the params collection."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.core.config import Qwen2Config
+    from vla_adapter_tpu.models.generate import (
+        greedy_generate,
+        greedy_generate_cached,
+    )
+    from vla_adapter_tpu.models.quantize import split_qstack
+    from vla_adapter_tpu.models.qwen2 import Qwen2Model
+
+    cfg = Qwen2Config(vocab_size=128, hidden_size=64, num_layers=3,
+                      num_heads=4, num_kv_heads=2, intermediate_size=128,
+                      head_dim=16)
+    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                    attn_impl="xla")
+    ids0 = jnp.asarray(
+        np.random.default_rng(0).integers(1, cfg.vocab_size, size=(2, 5)),
+        jnp.int32)
+    params = Qwen2Model(cfg, rt_fp).init(
+        jax.random.key(1), input_ids=ids0,
+        valid=jnp.ones_like(ids0), causal=True)["params"]
+
+    rt_s = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
+                       act_int8_min_dim=1, w8a8_impl="pallas_stacked")
+    model_s = Qwen2Model(cfg, rt_s)
+    shapes = jax.eval_shape(
+        lambda k: model_s.init(k, input_ids=ids0, valid=jnp.ones_like(ids0),
+                               causal=True), jax.random.key(0))
+    assert "qstack" in shapes
+    params_s, qstack = split_qstack(
+        quantize_params(jax.device_get(params)), shapes["qstack"])
+    variables = {"params": params_s, "qstack": qstack}
+
+    buf = np.zeros((2, 5 + 6), np.int32)
+    buf[:, :5] = np.asarray(ids0)
+    got = greedy_generate(
+        model_s, variables, jnp.asarray(buf),
+        jnp.array([5, 5], jnp.int32), max_new_tokens=6)
+    got_cached = greedy_generate_cached(
+        model_s, variables, jnp.asarray(buf), prompt_len=5, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got_cached))
+
+
 def test_quantization_report():
     """The validate-before-deploying report: per-kernel round-trip error is
     bounded by one quantization step, and the end-to-end action diff on a

@@ -37,14 +37,17 @@ def render(rec: dict, src: str) -> str:
     x = rec["parsed"]["extra"]
     b1, bmax = x["bf16_sweep"][0], x["bf16_sweep"][-1]
     w8_b1, w8_bmax, i8 = x["w8a8_batch1"], x["w8a8"], x["int8"]
-    w8_b1_pl = x.get("w8a8_batch1_pallas_mm")
+    # optional rows (added over rounds); tolerate their absence AND the
+    # {"error": ...} shape bench.py emits when a Pallas backend fails
+    opt = [x.get(k) for k in ("w8a8_batch2", "w8a8_batch1_pallas_mm",
+                              "w8a8_batch1_pallas_stacked")]
+    opt = [r for r in opt if r and "chunks_per_s" in r]
     ref = x["baseline_chunks_per_s_h100"]
 
     # The headline is whatever the driver recorded as the top-level value —
-    # find that row so the README never disagrees with the record.
-    candidates = [w8_b1, w8_bmax, i8, *x["bf16_sweep"]]
-    if w8_b1_pl and "chunks_per_s" in w8_b1_pl:
-        candidates.append(w8_b1_pl)
+    # find that row so the README never disagrees with the record. Keep this
+    # list in sync with bench.py's `rows`.
+    candidates = [w8_b1, w8_bmax, i8, *x["bf16_sweep"], *opt]
     head = max(candidates, key=lambda r: r["chunks_per_s"])
     assert head["chunks_per_s"] == rec["parsed"]["value"], (
         "headline row not found in extra", rec["parsed"]["value"])
@@ -75,12 +78,17 @@ def render(rec: dict, src: str) -> str:
          f"**{w8_bmax['chunks_per_s']:.1f} chunks/s** "
          f"(MFU-bf16 {w8_bmax['mfu']:.2f})"),
     ]
-    if w8_b1_pl and "chunks_per_s" in w8_b1_pl:
+    mode_label = {"w8a8": "w8a8", "w8a8+pallas_mm": "w8a8 + Pallas matmul",
+                  "w8a8+pallas_stacked": "w8a8 + stacked Pallas matmul"}
+    for r in opt:
+        if r is head:
+            continue  # already rendered as the headline row
         rows.append(
-            (f"chunk throughput, batch {w8_b1_pl['batch']}, w8a8 + Pallas "
-             "matmul", "unsupported",
-             f"**{w8_b1_pl['chunks_per_s']:.1f} chunks/s** "
-             f"(MFU-bf16 {w8_b1_pl['mfu']:.2f})"))
+            (f"chunk throughput, batch {r['batch']}, "
+             f"{mode_label.get(r.get('mode'), r.get('mode'))}",
+             "unsupported",
+             f"**{r['chunks_per_s']:.1f} chunks/s** "
+             f"(MFU-bf16 {r['mfu']:.2f})"))
     if x.get("train_step_s_bs8_lora64") is not None:
         rows.append(
             ("LoRA train step, batch 8, one chip", "n/a (DDP multi-GPU)",

@@ -46,13 +46,23 @@ def _convert(value: str, typ) -> Any:
             # nested pairs use ':' between elements, ',' between pairs —
             # e.g. --train.remat_policy_overrides vit:nothing,head:nothing
             inner = typing.get_args(elem)
-            out = [
-                tuple(
+            # validate arity NOW: a malformed pair (`vit`, `vit:a:b` against
+            # a 2-tuple schema) would otherwise surface minutes later as an
+            # opaque unpack error inside jit tracing, far from the flag
+            n_expect = (0 if not inner or inner[-1] is Ellipsis
+                        else len(inner))
+            out = []
+            for p in parts:
+                qs = p.split(":")
+                if n_expect and len(qs) != n_expect:
+                    raise SystemExit(
+                        f"malformed element {p!r} for {typ}: expected "
+                        f"{n_expect} ':'-separated fields, got {len(qs)} "
+                        f"(e.g. vit:nothing,head:nothing)")
+                out.append(tuple(
                     _convert(q, inner[min(i, len(inner) - 1)] if inner else str)
-                    for i, q in enumerate(p.split(":"))
-                )
-                for p in parts
-            ]
+                    for i, q in enumerate(qs)
+                ))
             return tuple(out) if origin is tuple else out
         out = [_convert(p, elem) for p in parts]
         return tuple(out) if origin is tuple else out

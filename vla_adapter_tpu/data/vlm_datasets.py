@@ -277,6 +277,14 @@ def build_lrv_instruct(base_dir, verify_images: bool = True) -> List[Path]:
         ("llava_v1_5_lvis4v_mix888k.json",
          "llava_v1_5_lvis4v_lrv_mix1231k.json"),
     ):
+        if not (base_dir / base_json).exists():
+            # The 1231k merge stacks on the lvis4v build's 888k output
+            # (reference lrv_instruct.py:53 assumes it was run first). A
+            # standalone `--build lrv` still produces the 1008k mix instead
+            # of dying after it.
+            log.warning("skipping %s: base %s not found (run --build "
+                        "lvis4v or lvis4v-lrv first)", out_name, base_json)
+            continue
         with open(base_dir / base_json) as f:
             base = json.load(f)
         merged = _seeded_triple_shuffle(base + lrv_data)

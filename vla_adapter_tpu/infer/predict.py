@@ -62,7 +62,6 @@ class Predictor:
     device_normalize: bool = True
 
     def __post_init__(self):
-        variables = {"params": self.params}
         if self.int8 or self.act_int8:
             import dataclasses as _dc
 
@@ -72,9 +71,24 @@ class Predictor:
             self.rt = _dc.replace(self.rt, weights_int8=True,
                                   act_int8=self.act_int8,
                                   w8a8_impl=self.w8a8_impl)
-            variables = {"params": self.params}
+        elif self.w8a8_impl != "xla" and not self.rt.act_int8:
+            # w8a8_impl only selects the matmul backend of the act-int8
+            # path; without it the flag would silently do nothing.
+            raise ValueError(
+                f"w8a8_impl={self.w8a8_impl!r} requires act_int8 serving — "
+                "pass act_int8=True (float params) or an rt with "
+                "act_int8=True (pre-quantized params)")
+        # From here on, gate every quantization decision on the EFFECTIVE
+        # runtime, not the constructor flags: callers with pre-quantized
+        # params pass int8=act_int8=False and carry the mode in `rt`
+        # (serve/loadtest.py does exactly this to skip a ~2 GB device
+        # round-trip), and both construction styles must behave identically.
+        self.int8 = bool(self.rt.weights_int8)
+        self.act_int8 = bool(self.rt.act_int8)
+        self.w8a8_impl = self.rt.w8a8_impl
+        variables = {"params": self.params}
         self.model = VLAModel(self.cfg, self.rt)
-        if self.act_int8 and self.w8a8_impl == "pallas_stacked":
+        if self.rt.act_int8 and self.rt.w8a8_impl == "pallas_stacked":
             # The scanned stacks expect their int8 kernels in the broadcast
             # "qstack" collection (full (L, in, out) stacks, never scan-
             # sliced — models/layers.py). Discover which kernels those are

@@ -24,6 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _variables(params) -> dict:
+    """Accept either a bare params tree or a full flax variables dict —
+    the pallas_stacked serving layout splits the scanned stacks' int8
+    kernels into a separate "qstack" collection (models/quantize.py
+    split_qstack), so decode callers pass {"params": ..., "qstack": ...}."""
+    return params if "params" in params else {"params": params}
+
+
 def discrete_actions_from_logits(
     logits: jnp.ndarray,
     prompt_len: jnp.ndarray,
@@ -66,13 +74,14 @@ def greedy_generate(
     sequence (subsequent slots keep the pad value).
     """
     batch = input_ids.shape[0]
+    variables = _variables(params)
 
     def step_fn(carry, i):
         ids, done = carry
         pos = prompt_len + i  # next slot per sequence
         valid = (jnp.arange(ids.shape[1])[None, :] < pos[:, None]).astype(jnp.int32)
         out = model.apply(
-            {"params": params}, input_ids=ids, valid=valid, causal=True,
+            variables, input_ids=ids, valid=valid, causal=True,
             compute_logits=True,
         )
         # logits at the last valid position predict the next token
@@ -119,9 +128,10 @@ def greedy_generate_cached(
     token-exact against transformers' cached generate in tests.
     """
     batch, total = input_ids.shape
+    variables = _variables(params)
     prompt = input_ids[:, :prompt_len]
     out = model.apply(
-        {"params": params}, input_ids=prompt,
+        variables, input_ids=prompt,
         valid=jnp.ones((batch, prompt_len), jnp.int32), causal=True,
         compute_logits=True, return_kv=True,
     )
@@ -149,7 +159,7 @@ def greedy_generate_cached(
         write = ~done
         ids = ids.at[:, pos].set(jnp.where(write, tok, ids[:, pos]))
         next_logits, (kv_k, kv_v) = decoder.apply(
-            {"params": params}, tok[:, None], (kv_k, kv_v), pos
+            variables, tok[:, None], (kv_k, kv_v), pos
         )
         if eos_token_id is not None:
             done = done | (tok == eos_token_id)

@@ -67,7 +67,7 @@ class Qwen2Attention(nn.Module):
             return out, (k, v)  # roped k — directly cacheable
         return out
 
-    def decode_step(self, x, k_cache, v_cache, pos):
+    def decode_step(self, x, k_cache, v_cache, pos, layer=None):
         """Single-token cached attention.
 
         x: (B, 1, D); k_cache/v_cache: (B, max_len, Hkv, Dh); pos: scalar
@@ -75,7 +75,7 @@ class Qwen2Attention(nn.Module):
         """
         cfg = self.cfg
         b = x.shape[0]
-        q, k, v = self._qkv(x)
+        q, k, v = self._qkv(x, layer)
         cos, sin = rope_cos_sin(
             1, cfg.head_dim, cfg.rope_theta, dtype=x.dtype,
             positions=jnp.array([pos]),
@@ -95,7 +95,7 @@ class Qwen2Attention(nn.Module):
         p = jax.nn.softmax(s, axis=-1)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", p, v_cache.astype(jnp.float32))
         out = out.astype(x.dtype).reshape(b, 1, cfg.num_heads * cfg.head_dim)
-        return self.o_proj(out), k_cache, v_cache
+        return self.o_proj(out, layer), k_cache, v_cache
 
 
 class Qwen2MLP(nn.Module):
@@ -157,14 +157,14 @@ class Qwen2DecoderLayer(nn.Module):
         out = x + self.mlp(h, layer)
         return (out, kv) if return_kv else out
 
-    def decode_step(self, x, k_cache, v_cache, pos):
+    def decode_step(self, x, k_cache, v_cache, pos, layer=None):
         h = self.input_layernorm(x)
         attn, k_cache, v_cache = self.self_attn.decode_step(
-            h, k_cache, v_cache, pos
+            h, k_cache, v_cache, pos, layer
         )
         x = x + attn
         h = self.post_attention_layernorm(x)
-        return x + self.mlp(h), k_cache, v_cache
+        return x + self.mlp(h, layer), k_cache, v_cache
 
 
 class _ScanBody(nn.Module):
@@ -199,9 +199,10 @@ class _DecodeScanBody(nn.Module):
     rt: Runtime
 
     @nn.compact
-    def __call__(self, carry, k_cache, v_cache, pos):
+    def __call__(self, carry, layer_idx, k_cache, v_cache, pos):
         layer = Qwen2DecoderLayer(self.cfg, self.rt, name="layer")
-        out, k_cache, v_cache = layer.decode_step(carry, k_cache, v_cache, pos)
+        out, k_cache, v_cache = layer.decode_step(
+            carry, k_cache, v_cache, pos, layer_idx)
         return out, (k_cache, v_cache)
 
 
@@ -343,16 +344,24 @@ class Qwen2Decode(nn.Module):
     @nn.compact
     def __call__(self, input_ids, kv_cache, pos):
         cfg, rt = self.cfg, self.rt
+        if rt.w8a8_impl == "pallas_stacked":
+            # mirror Qwen2Model: the scan's Denses read their int8 kernels
+            # from the broadcast "qstack" stacks, indexed by layer_idx
+            import dataclasses as _dc
+
+            rt = _dc.replace(rt, stacked_layers=cfg.num_layers)
         x = self.embed(input_ids).astype(rt.dtype)
         scanned = nn.scan(
             _DecodeScanBody,
             variable_axes={"params": 0},
+            variable_broadcast="qstack",
             split_rngs={"params": True},
             length=cfg.num_layers,
-            in_axes=(0, 0, nn.broadcast),
+            in_axes=(0, 0, 0, nn.broadcast),
             out_axes=0,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(cfg=cfg, rt=rt, name="layers")
-        x, kv_cache = scanned(x, kv_cache[0], kv_cache[1], pos)
+        x, kv_cache = scanned(x, jnp.arange(cfg.num_layers, dtype=jnp.int32),
+                              kv_cache[0], kv_cache[1], pos)
         final = RMSNorm(cfg.rms_norm_eps, rt=rt, name="norm")(x)
         return self.embed.attend(final)[:, 0], kv_cache

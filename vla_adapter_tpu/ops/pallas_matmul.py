@@ -59,15 +59,7 @@ def _w8a8_stacked_kernel(l_ref, xq_ref, rs_ref, wq_ref, ws_ref, o_ref):
     """Same cell math as _w8a8_kernel; the layer index l_ref is consumed by
     the BlockSpec index_maps (scalar prefetch), not by the body."""
     del l_ref
-    acc = jax.lax.dot_general(
-        xq_ref[...],
-        wq_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    o_ref[...] = (
-        acc.astype(jnp.float32) * rs_ref[...] * ws_ref[...]
-    ).astype(o_ref.dtype)
+    _w8a8_kernel(xq_ref, rs_ref, wq_ref, ws_ref, o_ref)
 
 
 @functools.partial(

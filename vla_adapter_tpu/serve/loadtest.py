@@ -212,6 +212,8 @@ def run_load(
 
 def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
                      w8a8_impl: str = "xla"):
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
 
@@ -256,7 +258,15 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
                      act_int8=act_int8, w8a8_impl=w8a8_impl)
         int8 = act_int8 = False
 
-    model = VLAModel(cfg, rt)
+    # Shape the zero params with the NON-stacked layout: under
+    # "pallas_stacked" the scanned stacks declare their int8 kernels in the
+    # separate "qstack" collection, but Predictor expects `params` as a full
+    # quantize_params-style tree and performs the qstack split itself
+    # (keyed on rt.w8a8_impl). The params layouts of "xla"/"pallas" are
+    # identical, so this trace is representative either way.
+    layout_rt = rt if rt.w8a8_impl != "pallas_stacked" else _dc.replace(
+        rt, w8a8_impl="xla")
+    model = VLAModel(cfg, layout_rt)
     v = cfg.vision
     shapes = jax.eval_shape(lambda: model.init(
         jax.random.key(0),
@@ -281,7 +291,8 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
         return [(hash(w) % 1000) + 10 for w in text.split()][:48]
 
     return Predictor(cfg=cfg, params=params, tokenize=tokenize,
-                     norm_stats=stats, rt=rt, int8=int8, act_int8=act_int8)
+                     norm_stats=stats, rt=rt, int8=int8, act_int8=act_int8,
+                     w8a8_impl=w8a8_impl)
 
 
 def main(argv: Optional[List[str]] = None) -> Dict:
