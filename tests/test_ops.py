@@ -216,3 +216,65 @@ def test_pallas_w8a8_matmul_stacked_matches_flat():
                           block_m=64, block_n=128, interpret=True).sum())
         for i in range(L))
     np.testing.assert_allclose(float(total), want, rtol=1e-5)
+
+
+def test_fused_mlp_kernel_goldens():
+    """ops/pallas_fused_mlp.py (interpret mode) matches a numpy
+    re-derivation of its exact quantization semantics — multi-group,
+    ragged F (the so400m case), ragged M, gated and biased variants."""
+    from vla_adapter_tpu.models.quantize import quantize_kernel
+    from vla_adapter_tpu.ops.pallas_fused_mlp import (
+        w8a8_gated_mlp_stacked,
+        w8a8_mlp_stacked,
+    )
+
+    def qrows(v):
+        s = np.maximum(np.max(np.abs(v), axis=-1, keepdims=True),
+                       1e-8) / 127.0
+        return np.clip(np.round(v / s), -127, 127), s
+
+    rng = np.random.default_rng(11)
+    L, M, K, F, D, BF = 2, 70, 128, 336, 128, 128  # F ragged vs BF, M ragged
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w1 = rng.normal(size=(L, K, F)).astype(np.float32) * 0.05
+    up = rng.normal(size=(L, K, F)).astype(np.float32) * 0.05
+    w2 = rng.normal(size=(L, F, D)).astype(np.float32) * 0.05
+    b1 = rng.normal(size=(F,)).astype(np.float32) * 0.1
+    b2 = rng.normal(size=(D,)).astype(np.float32) * 0.1
+    q1, s1 = quantize_kernel(w1)
+    qu, su = quantize_kernel(up)
+    q2, s2 = quantize_kernel(w2)
+    xq, rs = qrows(x)
+
+    def down(h, layer):
+        acc = np.zeros((M, D), np.float32)
+        for t in range(-(-F // BF)):
+            seg = h[:, t * BF:(t + 1) * BF]
+            hq, hs = qrows(seg)
+            acc += (hq @ q2[layer, t * BF:(t + 1) * BF].astype(np.float32)
+                    ) * hs
+        return acc * s2[layer]
+
+    for layer in range(L):
+        # gated (Qwen2MLP shape): silu(x@gate) * (x@up) @ down
+        g = (xq @ q1[layer].astype(np.float32)) * rs * s1[layer]
+        u = (xq @ qu[layer].astype(np.float32)) * rs * su[layer]
+        ref = down((g / (1 + np.exp(-g))) * u, layer)
+        got = np.asarray(w8a8_gated_mlp_stacked(
+            jnp.asarray(x), jnp.asarray(q1), jnp.asarray(s1),
+            jnp.asarray(qu), jnp.asarray(su), jnp.asarray(q2),
+            jnp.asarray(s2), jnp.int32(layer), block_f=BF,
+            out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+        # plain (ViTMLP shape): gelu(x@fc1 + b1) @ fc2 + b2
+        from scipy.special import erf
+
+        a = (xq @ q1[layer].astype(np.float32)) * rs * s1[layer] + b1
+        ref = down(0.5 * a * (1 + erf(a / np.sqrt(2.0))), layer) + b2
+        got = np.asarray(w8a8_mlp_stacked(
+            jnp.asarray(x), jnp.asarray(q1), jnp.asarray(s1),
+            jnp.asarray(b1), jnp.asarray(q2), jnp.asarray(s2),
+            jnp.asarray(b2), jnp.int32(layer), act="gelu", block_f=BF,
+            out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -115,6 +115,19 @@ def test_int8_predictor_close_to_fp(predictor):
     a_st = pred_st.predict_action(imgs, "fold the towel", proprio=p)
     np.testing.assert_allclose(a_st, a_a8, rtol=1e-4, atol=1e-4)
 
+    # fused backend (whole-MLP kernel, ops/pallas_fused_mlp.py): the MLP
+    # weights land in qstack, the rest stay per-layer params; actions match
+    # the XLA w8a8 path (at tiny F one quant group == per-token quant)
+    pred_fu = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
+        center_crop=False, act_int8=True, w8a8_impl="fused",
+    )
+    assert "qstack" in pred_fu._params_device
+    a_fu = pred_fu.predict_action(imgs, "fold the towel", proprio=p)
+    np.testing.assert_allclose(a_fu, a_a8, rtol=1e-4, atol=1e-4)
+
 
 def test_prequantized_rt_predictor(predictor):
     """The serve/loadtest construction pattern: params already in the

@@ -182,6 +182,53 @@ def test_w8a8_pallas_stacked_matches_xla():
     np.testing.assert_allclose(out_s, out_x, rtol=2e-5, atol=2e-5)
 
 
+def test_w8a8_fused_mlp_backend():
+    """The "fused" serving backend (whole-MLP Pallas kernel,
+    ops/pallas_fused_mlp.py) matches the XLA w8a8 path. At tiny geometry
+    F <= block_f, so the kernel's per-(token, group) down-input
+    quantization coincides with XLA's per-token quantization and the
+    outputs agree to fp tolerance; kernel-level goldens incl. multi-group
+    and ragged-F live in test_ops."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.models.quantize import split_qstack
+
+    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                    attn_impl="xla")
+    model_fp = VLAModel(TINY_CFG, rt_fp)
+    batch = jax.tree.map(jnp.asarray,
+                         make_dummy_batch(TINY_CFG, 2,
+                                          np.random.default_rng(7)))
+    kwargs = dict(
+        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
+        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
+        proprio=batch["proprio"],
+    )
+    params = model_fp.init(jax.random.key(0), **kwargs)["params"]
+    q_params = quantize_params(jax.device_get(params))
+
+    rt_x = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
+                       act_int8_min_dim=1, w8a8_impl="xla")
+    out_x = np.asarray(
+        VLAModel(TINY_CFG, rt_x).apply({"params": q_params},
+                                       **kwargs)["actions"])
+
+    rt_f = _dc.replace(rt_x, w8a8_impl="fused")
+    model_f = VLAModel(TINY_CFG, rt_f)
+    shapes = jax.eval_shape(lambda k: model_f.init(k, **kwargs),
+                            jax.random.key(0))
+    # the MLP kernels land in qstack exactly like pallas_stacked
+    flat = {jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
+    assert any("mlp" in k and "gate_proj" in k for k in flat)
+    assert any("fc1" in k for k in flat)
+    params_f, qstack = split_qstack(q_params, shapes["qstack"])
+    out_f = np.asarray(
+        model_f.apply({"params": params_f, "qstack": qstack},
+                      **kwargs)["actions"])
+    np.testing.assert_allclose(out_f, out_x, rtol=2e-5, atol=2e-5)
+
+
 def test_cached_decode_under_pallas_stacked():
     """KV-cached autoregressive decode works against the split
     params/qstack layout and matches the uncached stacked decode —

@@ -49,11 +49,13 @@ class Predictor:
     # batched-throughput lever. Check models/quantize.forward_error_report
     # (act_int8=True) and task success rates before deploying.
     act_int8: bool = False
-    # W8A8 matmul backend: "xla", "pallas", or "pallas_stacked"
-    # (ops/pallas_matmul.py — the hand-pipelined kernels for the small-row
-    # batch-1 shapes; "pallas_stacked" additionally keeps the scanned
+    # W8A8 matmul backend: "xla", "pallas", "pallas_stacked", or "fused"
+    # (ops/pallas_matmul.py / ops/pallas_fused_mlp.py — hand kernels for
+    # the small-row batch-1 shapes; "pallas_stacked" keeps the scanned
     # stacks' int8 kernels unsliced in HBM via scalar-prefetch indexing; see
-    # models/layers.Runtime.w8a8_impl for the measured dispatch guidance).
+    # models/layers.Runtime.w8a8_impl for the measured dispatch guidance;
+    # "fused" adds the whole-MLP kernel that keeps the wide intermediates
+    # in VMEM).
     w8a8_impl: str = "xla"
     # Ship uint8 pixels and normalize on-device: halves host->device bytes
     # per request (the (B, n_img, H, W, 6) tensor travels as 1 byte/chan
@@ -88,7 +90,7 @@ class Predictor:
         self.w8a8_impl = self.rt.w8a8_impl
         variables = {"params": self.params}
         self.model = VLAModel(self.cfg, self.rt)
-        if self.rt.act_int8 and self.rt.w8a8_impl == "pallas_stacked":
+        if self.rt.act_int8 and self.rt.stacked_serving:
             # The scanned stacks expect their int8 kernels in the broadcast
             # "qstack" collection (full (L, in, out) stacks, never scan-
             # sliced — models/layers.py). Discover which kernels those are

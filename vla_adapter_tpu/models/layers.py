@@ -88,16 +88,26 @@ class Runtime:
     # kernel's scalar-prefetch index_map DMAs the current layer's panels
     # directly, eliminating the per-layer (K, N) dynamic-slice copy +
     # re-tiling pass the device trace charges ~0.4 ms/forward to;
-    # BREAKDOWN.md "data formatting"). Inference-only: these kernels define
-    # no VJP, and every weights_int8 Dense is frozen anyway.
+    # BREAKDOWN.md "data formatting"), or "fused" (the pallas_stacked
+    # layout plus ops/pallas_fused_mlp.py: each transformer MLP runs as ONE
+    # kernel so its (M, F) wide intermediates never touch HBM — attacking
+    # the ~1.8 ms/forward of elementwise MLP-midsection fusions the device
+    # trace charges the XLA backend with). Inference-only: these kernels
+    # define no VJP, and every weights_int8 Dense is frozen anyway.
     w8a8_impl: str = "xla"
     # Internal, set by the scanned stacks (Qwen2Model / VisionTransformer)
-    # when w8a8_impl == "pallas_stacked": number of scan iterations, so a
+    # under a stacked serving mode: number of scan iterations, so a
     # Dense inside the scan declares its quantized kernel as the FULL
     # (L, in, out) stack in the broadcast "qstack" collection instead of a
     # per-iteration (in, out) slice in "params". 0 = not inside a stacked
     # scan. Build the split variable dict with models/quantize.split_qstack.
     stacked_layers: int = 0
+
+    @property
+    def stacked_serving(self) -> bool:
+        """True for the serving modes that keep scanned stacks' int8
+        kernels whole in the broadcast "qstack" collection."""
+        return self.w8a8_impl in ("pallas_stacked", "fused")
 
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
@@ -152,12 +162,45 @@ class Dense(nn.Module):
     rt: Runtime = Runtime()
     kernel_init: Any = nn.initializers.lecun_normal()
 
+    def _stacked_qkernel(self, in_features: int):
+        """Declare/fetch this Dense's layer-stacked int8 kernel in the
+        broadcast "qstack" collection. Only callable from inside
+        __call__'s compact context (flax restricts variable creation to
+        it); external consumers use ``__call__(x, layer,
+        stacked_weights_only=True)``. Returns (kernel_q (L, in, out),
+        kernel_scale (L, out), bias (out,) or None)."""
+        L = self.rt.stacked_layers
+        kernel_q = self.variable(
+            "qstack", "kernel_q",
+            lambda: jnp.zeros((L, in_features, self.features), jnp.int8),
+        ).value
+        kernel_scale = self.variable(
+            "qstack", "kernel_scale",
+            lambda: jnp.ones((L, self.features), jnp.float32),
+        ).value
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.rt.param_dtype)
+        return kernel_q, kernel_scale, bias
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, layer=None, *,
+                 stacked_weights_only: bool = False):
         in_features = x.shape[-1]
+        if stacked_weights_only:
+            # A fused kernel spanning several Denses (ops/pallas_fused_mlp)
+            # consumes the stacked weights directly instead of running the
+            # per-Dense matmul; x supplies only the input width.
+            assert self.rt.stacked_serving and self.rt.stacked_layers > 0
+            return self._stacked_qkernel(in_features)
         if (
             self.rt.weights_int8
             and self.rt.act_int8
+            # under "fused" only the MLP weights live in qstack (consumed
+            # via stacked_weights_only above); the remaining matmuls stay
+            # on the XLA w8a8 path, which beats the stacked kernel for
+            # them (measured: tools/probes/fused_mlp_probe.py)
             and self.rt.w8a8_impl == "pallas_stacked"
             and self.rt.stacked_layers > 0
             and layer is not None
@@ -173,17 +216,9 @@ class Dense(nn.Module):
             from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul_stacked
 
             assert self.rt.lora_rank == 0, (
-                "pallas_stacked serving expects LoRA merged into the base "
+                "stacked serving expects LoRA merged into the base "
                 "weights (weights/merge.py) before quantization")
-            L = self.rt.stacked_layers
-            kernel_q = self.variable(
-                "qstack", "kernel_q",
-                lambda: jnp.zeros((L, in_features, self.features), jnp.int8),
-            ).value
-            kernel_scale = self.variable(
-                "qstack", "kernel_scale",
-                lambda: jnp.ones((L, self.features), jnp.float32),
-            ).value
+            kernel_q, kernel_scale, bias = self._stacked_qkernel(in_features)
             xq, row_scale = quantize_rows(x)
             lead = x.shape[:-1]
             y = w8a8_matmul_stacked(
@@ -194,11 +229,7 @@ class Dense(nn.Module):
                 layer,
                 out_dtype=self.rt.dtype,
             ).reshape(*lead, self.features)
-            if self.use_bias:
-                bias = self.param(
-                    "bias", nn.initializers.zeros, (self.features,),
-                    self.rt.param_dtype,
-                )
+            if bias is not None:
                 y = y + bias.astype(self.rt.dtype)
             return y
         if self.rt.weights_int8:

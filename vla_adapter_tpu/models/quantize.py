@@ -67,7 +67,8 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
 def split_qstack(
     q_params: Dict[str, Any], qstack_shapes: Dict[str, Any]
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Split a :func:`quantize_params` tree for ``pallas_stacked`` serving.
+    """Split a :func:`quantize_params` tree for stacked serving
+    (``w8a8_impl="pallas_stacked"`` or ``"fused"``).
 
     With ``Runtime(w8a8_impl="pallas_stacked")`` the scanned stacks declare
     their stacked-eligible int8 kernels in the broadcast "qstack" collection

@@ -109,6 +109,28 @@ class Qwen2MLP(nn.Module):
         self.down_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
 
     def __call__(self, x, layer=None):
+        cfg, rt = self.cfg, self.rt
+        if (rt.weights_int8 and rt.act_int8 and rt.w8a8_impl == "fused"
+                and rt.stacked_layers > 0 and layer is not None
+                and min(cfg.hidden_size, cfg.intermediate_size)
+                >= rt.act_int8_min_dim):
+            # Whole-MLP fused kernel: the (M, F) gate/up/silu*mul
+            # intermediates stay in VMEM (ops/pallas_fused_mlp.py) instead
+            # of round-tripping HBM between the three dots.
+            from vla_adapter_tpu.ops.pallas_fused_mlp import (
+                w8a8_gated_mlp_stacked,
+            )
+
+            gq, gs, _ = self.gate_proj(x, layer, stacked_weights_only=True)
+            uq, us, _ = self.up_proj(x, layer, stacked_weights_only=True)
+            dq, dsc, _ = self.down_proj(
+                jnp.zeros((1, cfg.intermediate_size), x.dtype), layer,
+                stacked_weights_only=True)
+            lead = x.shape[:-1]
+            return w8a8_gated_mlp_stacked(
+                x.reshape(-1, cfg.hidden_size), gq, gs, uq, us, dq, dsc,
+                layer, act="silu", out_dtype=rt.dtype,
+            ).reshape(*lead, cfg.hidden_size)
         # checkpoint_name tags the two FLOPs-heavy up-projections so the
         # "mlp_saved" remat policy (layers.remat_policy) can save exactly
         # these in the backward: recomputing them is ~90% of a layer's
@@ -251,7 +273,7 @@ class Qwen2Model(nn.Module):
         return_kv: bool = False,
     ):
         cfg, rt = self.cfg, self.rt
-        if rt.w8a8_impl == "pallas_stacked":
+        if rt.stacked_serving:
             # Stacked w8a8 serving: Denses inside the scan keep their int8
             # kernels as the full (L, in, out) stack in the broadcast
             # "qstack" collection (models/layers.py) — the scan slices
@@ -344,7 +366,7 @@ class Qwen2Decode(nn.Module):
     @nn.compact
     def __call__(self, input_ids, kv_cache, pos):
         cfg, rt = self.cfg, self.rt
-        if rt.w8a8_impl == "pallas_stacked":
+        if rt.stacked_serving:
             # mirror Qwen2Model: the scan's Denses read their int8 kernels
             # from the broadcast "qstack" stacks, indexed by layer_idx
             import dataclasses as _dc

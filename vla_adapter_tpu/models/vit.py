@@ -63,12 +63,31 @@ class ViTMLP(nn.Module):
     @nn.compact
     def __call__(self, x, layer=None):
         cfg, rt = self.cfg, self.rt
+        fc1 = Dense(cfg.mlp_dim, rt=rt, name="fc1")
+        fc2 = Dense(cfg.hidden_size, rt=rt, name="fc2")
+        if (rt.weights_int8 and rt.act_int8 and rt.w8a8_impl == "fused"
+                and rt.stacked_layers > 0 and layer is not None
+                and min(cfg.hidden_size, cfg.mlp_dim)
+                >= rt.act_int8_min_dim):
+            # Whole-MLP fused kernel: the (M, F) fc1/activation
+            # intermediate stays in VMEM (ops/pallas_fused_mlp.py) instead
+            # of round-tripping HBM between the two dots. Handles the
+            # ragged so400m mlp_dim (4304) by masking the padded panel.
+            from vla_adapter_tpu.ops.pallas_fused_mlp import w8a8_mlp_stacked
+
+            q1, s1, b1 = fc1(x, layer, stacked_weights_only=True)
+            q2, s2, b2 = fc2(jnp.zeros((1, cfg.mlp_dim), x.dtype), layer,
+                             stacked_weights_only=True)
+            lead = x.shape[:-1]
+            return w8a8_mlp_stacked(
+                x.reshape(-1, cfg.hidden_size), q1, s1, b1, q2, s2, b2,
+                layer, act=cfg.mlp_activation, out_dtype=rt.dtype,
+            ).reshape(*lead, cfg.hidden_size)
         # Tagged for the "mlp_saved" remat policy (see models/layers.py):
         # the 4x-wide fc1 output is the block's dominant recompute cost.
-        x = checkpoint_name(Dense(cfg.mlp_dim, rt=rt, name="fc1")(x, layer),
-                            "mlp_wide")
+        x = checkpoint_name(fc1(x, layer), "mlp_wide")
         x = activation(cfg.mlp_activation)(x)
-        return Dense(cfg.hidden_size, rt=rt, name="fc2")(x, layer)
+        return fc2(x, layer)
 
 
 class LayerScale(nn.Module):
@@ -225,7 +244,7 @@ class VisionTransformer(nn.Module):
             block_cls = nn.remat(ViTBlock, policy=remat_policy(rt, "vit"))
 
         num_blocks = cfg.resolved_feature_layer + 1
-        if rt.w8a8_impl == "pallas_stacked":
+        if rt.stacked_serving:
             # Stacked w8a8 serving: see Qwen2Model — block Denses keep the
             # full int8 stack in the broadcast "qstack" collection.
             import dataclasses as _dc

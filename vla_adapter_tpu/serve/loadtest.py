@@ -264,7 +264,7 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
     # quantize_params-style tree and performs the qstack split itself
     # (keyed on rt.w8a8_impl). The params layouts of "xla"/"pallas" are
     # identical, so this trace is representative either way.
-    layout_rt = rt if rt.w8a8_impl != "pallas_stacked" else _dc.replace(
+    layout_rt = rt if not rt.stacked_serving else _dc.replace(
         rt, w8a8_impl="xla")
     model = VLAModel(cfg, layout_rt)
     v = cfg.vision
@@ -309,7 +309,7 @@ def main(argv: Optional[List[str]] = None) -> Dict:
     p.add_argument("--int8", action="store_true")
     p.add_argument("--act-int8", action="store_true")
     p.add_argument("--w8a8-impl", default="xla",
-                   choices=("xla", "pallas", "pallas_stacked"),
+                   choices=("xla", "pallas", "pallas_stacked", "fused"),
                    help="w8a8 matmul backend (ops/pallas_matmul.py)")
     p.add_argument("--dynamic-batch", action="store_true")
     p.add_argument("--prewarm", action="store_true",
