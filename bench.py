@@ -361,6 +361,23 @@ def main():
         rows.append(w8a8_b1_stacked)
     except Exception as e:  # pragma: no cover - depends on chip toolchain
         w8a8_b1_stacked = {"error": repr(e)[:200]}
+    # Whole-MLP fused kernel (ops/pallas_fused_mlp.py): every transformer
+    # MLP runs as ONE Pallas kernel so its (M, F) wide intermediates stay
+    # in VMEM — the first backend measured faster than XLA end to end
+    # (BREAKDOWN.md). b1 and b2 (the per-chip throughput peak batch).
+    w8a8_b1_fused = w8a8_b2_fused = None
+    try:
+        w8a8_b1_fused = run(1, k_chain=12, iters=8, act_int8=True,
+                            w8a8_impl="fused")
+        w8a8_b1_fused["mode"] = "w8a8+fused_mlp"
+        rows.append(w8a8_b1_fused)
+        w8a8_b2_fused = run(2, k_chain=12, iters=8, act_int8=True,
+                            w8a8_impl="fused")
+        w8a8_b2_fused["mode"] = "w8a8+fused_mlp"
+        rows.append(w8a8_b2_fused)
+    except Exception as e:  # pragma: no cover - depends on chip toolchain
+        w8a8_b1_fused = w8a8_b1_fused or {"error": repr(e)[:200]}
+        w8a8_b2_fused = w8a8_b2_fused or {"error": repr(e)[:200]}
     best = max(rows, key=lambda r: r["chunks_per_s"])
 
     train_step_s = None
@@ -389,6 +406,8 @@ def main():
             "w8a8_batch2": w8a8_b2,
             "w8a8_batch1_pallas_mm": w8a8_b1_pallas,
             "w8a8_batch1_pallas_stacked": w8a8_b1_stacked,
+            "w8a8_batch1_fused_mlp": w8a8_b1_fused,
+            "w8a8_batch2_fused_mlp": w8a8_b2_fused,
             "latency_s_batch1": latency_row["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),
