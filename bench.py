@@ -337,63 +337,66 @@ def main():
     # still batch-1-like.
     w8a8_b2 = run(2, k_chain=12, iters=8, act_int8=True)
     w8a8_b2["mode"] = "w8a8"
-    # Same batch-1 w8a8 math through the hand-pipelined Pallas matmul
-    # (ops/pallas_matmul.py) instead of XLA's dot+epilogue fusions. Guarded:
-    # a kernel regression must degrade the headline, not break the bench.
     rows = sweep + [int8_row, w8a8_row, w8a8_b1, w8a8_b2]
-    w8a8_b1_pallas = None
-    try:
-        w8a8_b1_pallas = run(1, k_chain=12, iters=8, act_int8=True,
-                             w8a8_impl="pallas")
-        w8a8_b1_pallas["mode"] = "w8a8+pallas_mm"
-        rows.append(w8a8_b1_pallas)
-    except Exception as e:  # pragma: no cover - depends on chip toolchain
-        w8a8_b1_pallas = {"error": repr(e)[:200]}
-    # Scalar-prefetch stacked variant: scanned stacks keep their int8
-    # kernels whole in HBM ("qstack" broadcast collection) and the Pallas
-    # index_map selects the layer's panels — removes the per-layer
-    # dynamic-slice + re-tiling pass (BREAKDOWN.md "data formatting").
-    w8a8_b1_stacked = None
-    try:
-        w8a8_b1_stacked = run(1, k_chain=12, iters=8, act_int8=True,
-                              w8a8_impl="pallas_stacked")
-        w8a8_b1_stacked["mode"] = "w8a8+pallas_stacked"
-        rows.append(w8a8_b1_stacked)
-    except Exception as e:  # pragma: no cover - depends on chip toolchain
-        w8a8_b1_stacked = {"error": repr(e)[:200]}
     # Whole-MLP fused kernel (ops/pallas_fused_mlp.py): every transformer
     # MLP runs as ONE Pallas kernel so its (M, F) wide intermediates stay
-    # in VMEM — the first backend measured faster than XLA end to end
-    # (BREAKDOWN.md). b1 and b2 (the per-chip throughput peak batch).
-    w8a8_b1_fused = w8a8_b2_fused = None
-    try:
-        w8a8_b1_fused = run(1, k_chain=12, iters=8, act_int8=True,
-                            w8a8_impl="fused")
-        w8a8_b1_fused["mode"] = "w8a8+fused_mlp"
-        rows.append(w8a8_b1_fused)
-        w8a8_b2_fused = run(2, k_chain=12, iters=8, act_int8=True,
-                            w8a8_impl="fused")
-        w8a8_b2_fused["mode"] = "w8a8+fused_mlp"
-        rows.append(w8a8_b2_fused)
-    except Exception as e:  # pragma: no cover - depends on chip toolchain
-        w8a8_b1_fused = w8a8_b1_fused or {"error": repr(e)[:200]}
-        w8a8_b2_fused = w8a8_b2_fused or {"error": repr(e)[:200]}
-    best = max(rows, key=lambda r: r["chunks_per_s"])
+    # in VMEM — the only hand backend measured faster than XLA end to end
+    # (BREAKDOWN.md). b1 (where it wins / the auto default), b2 (the XLA
+    # per-chip peak batch) and b4 (confirming the crossover stays at 2).
+    # Each batch guarded separately so one failing run cannot misattribute
+    # its error to the others' keys.
+    fused = {}
+    for b in (1, 2, 4):
+        try:
+            r = run(b, k_chain=12, iters=8, act_int8=True, w8a8_impl="fused")
+            r["mode"] = "w8a8+fused_mlp"
+            rows.append(r)
+            fused[b] = r
+        except Exception as e:  # pragma: no cover - depends on chip toolchain
+            fused[b] = {"error": repr(e)[:200]}
+    # The SHIPPED default is the batch-keyed "auto" backend
+    # (models/layers.resolve_w8a8_impl: fused at batch <=
+    # W8A8_FUSED_MAX_BATCH, XLA above). Its rows are the measured rows of
+    # whichever backend it dispatches to at that batch — the headline is
+    # the best of THOSE, so the record always reflects what a user of the
+    # defaults gets.
+    from vla_adapter_tpu.models.layers import resolve_w8a8_impl
+
+    xla_by_batch = {r["batch"]: r for r in (w8a8_b1, w8a8_b2, w8a8_row)}
+    auto_rows = {}
+    for b in sorted(set(xla_by_batch) | set(fused)):
+        impl = resolve_w8a8_impl("auto", b)
+        src = fused.get(b) if impl == "fused" else xla_by_batch.get(b)
+        if src and "chunks_per_s" in src:
+            auto_rows[b] = dict(src, mode=f"w8a8+auto({impl})")
+    best = max(auto_rows.values(), key=lambda r: r["chunks_per_s"])
+    # If some non-default row beats the auto dispatch, surface it in the
+    # record (a crossover drift to investigate) — never crash the bench.
+    fastest_any = max(rows, key=lambda r: r["chunks_per_s"])
+    dispatch_note = None
+    if fastest_any["chunks_per_s"] > best["chunks_per_s"] * 1.02:
+        dispatch_note = (
+            f"auto dispatch leaves {fastest_any['chunks_per_s']:.1f} "
+            f"chunks/s on the table (batch {fastest_any['batch']}, "
+            f"{fastest_any.get('mode', 'bf16')}) — re-place "
+            "models/layers.W8A8_FUSED_MAX_BATCH")
 
     train_step_s = None
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         train_step_s = bench_train_step(overhead)
 
     latency_row = next((r for r in sweep if r["batch"] == 1), sweep[0])
+    # the default serving stack's batch-1 latency (auto -> fused at b1)
+    b1_rows = [r for r in rows if r["batch"] == 1]
+    best_b1 = auto_rows.get(1, min(b1_rows, key=lambda r: r["s_per_forward"]))
     print(json.dumps({
         "metric": "predict_chunks_per_s_per_chip",
         "value": best["chunks_per_s"],
         "unit": (
-            f"8-action chunks/s on one v5e chip (batch {best['batch']}"
-            f"{', int8' if best is int8_row else ''}"
-            f"{', ' + best['mode'] if best.get('mode') else ''}"
-            f", mfu {best['mfu']:.2f}; "
-            f"batch-1 latency {latency_row['s_per_forward']*1e3:.1f} ms/chunk; "
+            f"8-action chunks/s on one v5e chip (batch {best['batch']}, "
+            f"{best['mode']}, mfu {best['mfu']:.2f}; "
+            f"batch-1 latency {best_b1['s_per_forward']*1e3:.1f} ms/chunk "
+            f"({best_b1['mode']}); "
             f"dispatch overhead {overhead*1e3:.1f} ms subtracted)"
         ),
         "vs_baseline": round(best["chunks_per_s"] / REF_CHUNKS_PER_S, 3),
@@ -404,15 +407,17 @@ def main():
             "w8a8": w8a8_row,
             "w8a8_batch1": w8a8_b1,
             "w8a8_batch2": w8a8_b2,
-            "w8a8_batch1_pallas_mm": w8a8_b1_pallas,
-            "w8a8_batch1_pallas_stacked": w8a8_b1_stacked,
-            "w8a8_batch1_fused_mlp": w8a8_b1_fused,
-            "w8a8_batch2_fused_mlp": w8a8_b2_fused,
+            "w8a8_batch1_fused_mlp": fused[1],
+            "w8a8_batch2_fused_mlp": fused[2],
+            "w8a8_batch4_fused_mlp": fused[4],
+            "serving_auto": {str(b): r for b, r in auto_rows.items()},
             "latency_s_batch1": latency_row["s_per_forward"],
+            "latency_s_batch1_default": best_b1["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),
             "dispatch_overhead_s": round(overhead, 4),
             "baseline_chunks_per_s_h100": round(REF_CHUNKS_PER_S, 2),
+            "dispatch_note": dispatch_note,
         },
     }))
 

@@ -154,31 +154,6 @@ def test_pallas_w8a8_matmul_interpret_matches_xla(m, k, n):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_dense_w8a8_pallas_impl_matches_xla():
-    """Dense(w8a8_impl='pallas') equals the XLA W8A8 branch on a 3D input
-    (the serving call shape): same int8 dot, same dequant, same dtype."""
-    from vla_adapter_tpu.models.layers import Dense, Runtime
-
-    base = dict(dtype=jnp.float32, param_dtype=jnp.float32,
-                weights_int8=True, act_int8=True, act_int8_min_dim=8)
-    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 17, 64)),
-                    jnp.float32)
-    outs = {}
-    for impl in ("xla", "pallas"):
-        rng = np.random.default_rng(4)  # identical params for both impls
-        d = Dense(96, use_bias=True, rt=Runtime(w8a8_impl=impl, **base))
-        params = d.init(jax.random.key(0), x)
-        params = jax.tree.map(
-            lambda p: jnp.asarray(
-                rng.integers(-127, 128, p.shape), jnp.int8
-            ) if p.dtype == jnp.int8 else
-            jnp.asarray(rng.uniform(0.1, 1.0, p.shape), p.dtype),
-            params)
-        outs[impl] = jax.jit(d.apply)(params, x)
-    np.testing.assert_allclose(np.asarray(outs["pallas"]),
-                               np.asarray(outs["xla"]), rtol=1e-6, atol=1e-6)
-
-
 def test_pallas_w8a8_matmul_stacked_matches_flat():
     """The scalar-prefetch stacked kernel selects layer l out of an
     (L, K, N) weight stack and matches the flat kernel on that slice

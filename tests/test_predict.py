@@ -102,19 +102,6 @@ def test_int8_predictor_close_to_fp(predictor):
     assert np.isfinite(a_a8).all()
     assert np.corrcoef(a_a8.ravel(), a_fp.ravel())[0, 1] > 0.97
 
-    # pallas_stacked backend: same quantized math through the scalar-
-    # prefetch stacked kernel + split qstack collection — matches the XLA
-    # w8a8 backend to fp tolerance
-    pred_st = Predictor(
-        cfg=predictor.cfg, params=predictor.params,
-        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
-        rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
-        center_crop=False, act_int8=True, w8a8_impl="pallas_stacked",
-    )
-    assert "qstack" in pred_st._params_device
-    a_st = pred_st.predict_action(imgs, "fold the towel", proprio=p)
-    np.testing.assert_allclose(a_st, a_a8, rtol=1e-4, atol=1e-4)
-
     # fused backend (whole-MLP kernel, ops/pallas_fused_mlp.py): the MLP
     # weights land in qstack, the rest stay per-layer params; actions match
     # the XLA w8a8 path (at tiny F one quant group == per-token quant)
@@ -128,6 +115,33 @@ def test_int8_predictor_close_to_fp(predictor):
     a_fu = pred_fu.predict_action(imgs, "fold the towel", proprio=p)
     np.testing.assert_allclose(a_fu, a_a8, rtol=1e-4, atol=1e-4)
 
+    # "auto" (the default): batch-keyed dispatch — fused at batch 1, XLA
+    # above (models/layers.resolve_w8a8_impl) — matching the forced
+    # backends exactly, with both backends sharing the SAME device weight
+    # buffers (the qstack split regroups references, no copy).
+    pred_auto = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
+        center_crop=False, act_int8=True,  # w8a8_impl defaults to "auto"
+    )
+    assert set(pred_auto._backends) == {"fused", "xla"}
+    assert "qstack" in pred_auto._backends["fused"][1]
+    a_auto1 = pred_auto.predict_action(imgs, "fold the towel", proprio=p)
+    np.testing.assert_array_equal(a_auto1, a_fu)
+    a_auto2 = pred_auto.predict_action_batch(
+        [imgs, imgs], ["fold the towel"] * 2, [p, p])
+    a_xla2 = pred_a8.predict_action_batch(
+        [imgs, imgs], ["fold the towel"] * 2, [p, p])
+    np.testing.assert_array_equal(a_auto2, a_xla2)
+    # shared buffers: a fused-layout MLP leaf is the same device array as
+    # some leaf of the xla-layout params tree
+    q_leaves = {id(l) for l in jax.tree_util.tree_leaves(
+        pred_auto._backends["fused"][1])}
+    x_leaves = {id(l) for l in jax.tree_util.tree_leaves(
+        pred_auto._backends["xla"][1])}
+    assert q_leaves == x_leaves
+
 
 def test_prequantized_rt_predictor(predictor):
     """The serve/loadtest construction pattern: params already in the
@@ -135,7 +149,7 @@ def test_prequantized_rt_predictor(predictor):
     (int8=act_int8=False flags). Predictor must key the qstack split off
     the EFFECTIVE runtime, not its constructor flags — regression for the
     round-3 review finding where this path crashed with
-    ScopeCollectionNotFound under pallas_stacked."""
+    ScopeCollectionNotFound under the stacked qstack layout."""
     import dataclasses
 
     from vla_adapter_tpu.infer.predict import Predictor
@@ -147,7 +161,7 @@ def test_prequantized_rt_predictor(predictor):
     p = rng.normal(size=8)
     rt_q = dataclasses.replace(
         predictor.rt, weights_int8=True, act_int8=True, act_int8_min_dim=1,
-        w8a8_impl="pallas_stacked")
+        w8a8_impl="fused")
     pred_rt = Predictor(
         cfg=predictor.cfg,
         params=quantize_params(jax.device_get(predictor.params)),
@@ -160,20 +174,32 @@ def test_prequantized_rt_predictor(predictor):
         cfg=predictor.cfg, params=predictor.params,
         tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
         rt=dataclasses.replace(predictor.rt, act_int8_min_dim=1),
-        center_crop=False, act_int8=True, w8a8_impl="pallas_stacked",
+        center_crop=False, act_int8=True, w8a8_impl="fused",
     )
     a_rt = pred_rt.predict_action(imgs, "wipe the table", proprio=p)
     a_fl = pred_flags.predict_action(imgs, "wipe the table", proprio=p)
     np.testing.assert_allclose(a_rt, a_fl, rtol=1e-5, atol=1e-5)
 
-    # a non-xla backend without act_int8 anywhere would silently serve on
-    # XLA — must be rejected loudly instead
+    # a concrete non-xla backend without act_int8 anywhere would silently
+    # serve on XLA — must be rejected loudly instead ("auto" is fine: it
+    # degenerates to the single XLA backend)
     with pytest.raises(ValueError, match="act_int8"):
         Predictor(
             cfg=predictor.cfg, params=predictor.params,
             tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
-            rt=predictor.rt, center_crop=False, w8a8_impl="pallas",
+            rt=predictor.rt, center_crop=False, w8a8_impl="fused",
         )
+    # the demoted round-3 backends are rejected at Runtime construction
+    with pytest.raises(ValueError, match="demoted"):
+        dataclasses.replace(predictor.rt, w8a8_impl="pallas_stacked")
+    # float-path "auto" serves on the single XLA backend
+    pred_float = Predictor(
+        cfg=predictor.cfg, params=predictor.params,
+        tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
+        rt=predictor.rt, center_crop=False,  # w8a8_impl defaults to "auto"
+    )
+    assert pred_float.w8a8_impl == "xla"
+    assert set(pred_float._backends) == {"xla"}
 
 
 def test_batch_matches_single(predictor):

@@ -130,65 +130,14 @@ def test_w8a8_forward():
     assert np.isfinite(fwd["max_abs_action_diff"])
 
 
-def test_w8a8_pallas_stacked_matches_xla():
-    """The pallas_stacked serving backend (scan-stacked int8 kernels kept
-    whole in the broadcast "qstack" collection, layer-indexed inside the
-    Pallas kernel via scalar prefetch) computes the same actions as the XLA
-    w8a8 path, and split_qstack moves exactly the stacked-eligible kernels."""
-    import dataclasses as _dc
-
-    from vla_adapter_tpu.models.quantize import split_qstack
-
-    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla")
-    model_fp = VLAModel(TINY_CFG, rt_fp)
-    batch = make_dummy_batch(TINY_CFG, 2, np.random.default_rng(3))
-    batch = jax.tree.map(jnp.asarray, batch)
-    kwargs = dict(
-        input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
-        text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
-        proprio=batch["proprio"],
-    )
-    params = model_fp.init(jax.random.key(0), **kwargs)["params"]
-    q_params = quantize_params(jax.device_get(params))
-
-    rt_x = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
-                       act_int8_min_dim=1, w8a8_impl="xla")
-    out_x = np.asarray(
-        VLAModel(TINY_CFG, rt_x).apply({"params": q_params}, **kwargs)["actions"])
-
-    rt_s = _dc.replace(rt_x, w8a8_impl="pallas_stacked")
-    model_s = VLAModel(TINY_CFG, rt_s)
-    shapes = jax.eval_shape(lambda k: model_s.init(k, **kwargs),
-                            jax.random.key(0))
-    assert "qstack" in shapes
-    # every scanned stack contributed stacked kernels (LLM q/o + mlp, both
-    # ViT towers), each with the full leading layer axis
-    flat = {jax.tree_util.keystr(p): v for p, v in
-            jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
-    assert any("language_model" in k for k in flat)
-    assert any("featurizer" in k for k in flat)
-    # the leading axis is the FULL stack depth (TINY: 2 LLM layers)
-    assert all(v.shape[0] == TINY_CFG.llm.num_layers
-               for k, v in flat.items() if "language_model" in k)
-
-    params_s, qstack = split_qstack(q_params, shapes["qstack"])
-    # moved leaves are gone from params and present in qstack
-    flat_p = {jax.tree_util.keystr(p) for p, _ in
-              jax.tree_util.tree_flatten_with_path(params_s)[0]}
-    assert not (flat_p & set(flat))
-    out_s = np.asarray(
-        model_s.apply({"params": params_s, "qstack": qstack},
-                      **kwargs)["actions"])
-    np.testing.assert_allclose(out_s, out_x, rtol=2e-5, atol=2e-5)
-
-
 def test_w8a8_fused_mlp_backend():
     """The "fused" serving backend (whole-MLP Pallas kernel,
-    ops/pallas_fused_mlp.py) matches the XLA w8a8 path. At tiny geometry
-    F <= block_f, so the kernel's per-(token, group) down-input
-    quantization coincides with XLA's per-token quantization and the
-    outputs agree to fp tolerance; kernel-level goldens incl. multi-group
-    and ragged-F live in test_ops."""
+    ops/pallas_fused_mlp.py) matches the XLA w8a8 path, and split_qstack
+    moves exactly the stacked MLP kernels. At tiny geometry F <= block_f,
+    so the kernel's per-(token, group) down-input quantization coincides
+    with XLA's per-token quantization and the outputs agree to fp
+    tolerance; kernel-level goldens incl. multi-group and ragged-F live in
+    test_ops."""
     import dataclasses as _dc
 
     from vla_adapter_tpu.models.quantize import split_qstack
@@ -217,22 +166,28 @@ def test_w8a8_fused_mlp_backend():
     model_f = VLAModel(TINY_CFG, rt_f)
     shapes = jax.eval_shape(lambda k: model_f.init(k, **kwargs),
                             jax.random.key(0))
-    # the MLP kernels land in qstack exactly like pallas_stacked
-    flat = {jax.tree_util.keystr(p) for p, _ in
+    # exactly the MLP kernels land in qstack, with the FULL layer axis
+    flat = {jax.tree_util.keystr(p): v for p, v in
             jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
     assert any("mlp" in k and "gate_proj" in k for k in flat)
     assert any("fc1" in k for k in flat)
+    assert all(v.shape[0] == TINY_CFG.llm.num_layers
+               for k, v in flat.items() if "language_model" in k)
     params_f, qstack = split_qstack(q_params, shapes["qstack"])
+    # moved leaves are gone from params and present in qstack
+    flat_p = {jax.tree_util.keystr(p) for p, _ in
+              jax.tree_util.tree_flatten_with_path(params_f)[0]}
+    assert not (flat_p & set(flat))
     out_f = np.asarray(
         model_f.apply({"params": params_f, "qstack": qstack},
                       **kwargs)["actions"])
     np.testing.assert_allclose(out_f, out_x, rtol=2e-5, atol=2e-5)
 
 
-def test_cached_decode_under_pallas_stacked():
+def test_cached_decode_under_fused_layout():
     """KV-cached autoregressive decode works against the split
-    params/qstack layout and matches the uncached stacked decode —
-    regression for the round-3 review finding where Qwen2Decode's
+    params/qstack layout (w8a8_impl="fused") and matches the uncached
+    decode — regression for the round-3 review finding where Qwen2Decode's
     decode_step dropped the layer index and crashed looking up kernel_q
     in the params collection."""
     import dataclasses as _dc
@@ -258,7 +213,7 @@ def test_cached_decode_under_pallas_stacked():
         valid=jnp.ones_like(ids0), causal=True)["params"]
 
     rt_s = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
-                       act_int8_min_dim=1, w8a8_impl="pallas_stacked")
+                       act_int8_min_dim=1, w8a8_impl="fused")
     model_s = Qwen2Model(cfg, rt_s)
     shapes = jax.eval_shape(
         lambda k: model_s.init(k, input_ids=ids0, valid=jnp.ones_like(ids0),

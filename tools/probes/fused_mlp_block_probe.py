@@ -47,7 +47,11 @@ def bench(m, k, f, d, L, block_m, block_f, iters=30):
     chain(x).block_until_ready()
     t0 = time.perf_counter()
     for i in range(iters):
-        out = chain(x + jnp.bfloat16(i * 1e-3))
+        # start the perturbation at i+1: chain(x + 0) is bitwise-identical
+        # to the warmup dispatch and the tunnel relay memoizes identical
+        # executions, which would serve iteration 0 from cache and bias
+        # per_call low by ~1/iters
+        out = chain(x + jnp.bfloat16((i + 1) * 1e-3))
     out.block_until_ready()
     per_call = (time.perf_counter() - t0) / (iters * R)
     return per_call
@@ -60,9 +64,16 @@ def main():
         ("ViT so400m b2", 1088, 1152, 4304, 1152, 27),
     ]
     for name, m, k, f, d, L in shapes:
+        seen_bm = set()
         for block_m in (256, 640, 1280):
-            if block_m > m:
+            # the kernel clamps block_m to round_up(m, 16), so block_m > m
+            # still measures a valid single-m-block config (the one that
+            # streams each weight panel once — the probe's motivation);
+            # skip only when the clamp duplicates an already-measured size
+            eff_bm = min(block_m, -(-m // 16) * 16)
+            if eff_bm in seen_bm:
                 continue
+            seen_bm.add(eff_bm)
             for block_f in (256, 512, 1024):
                 try:
                     t = bench(m, k, f, d, L, block_m, block_f)

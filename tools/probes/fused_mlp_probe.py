@@ -1,8 +1,10 @@
 """Measure the fused-MLP w8a8 backend vs XLA at flagship serving shapes.
 
 Runs bench.py's chain methodology (distinct inputs per dispatch, dispatch
-overhead subtracted) for w8a8_impl in {xla, pallas_stacked, fused} at the
-batch sizes that matter. Run from the repo root on the real chip:
+overhead subtracted) for w8a8_impl in {xla, fused} at the batch sizes that
+matter — the data behind the "auto" dispatch crossover
+(models/layers.W8A8_FUSED_MAX_BATCH). Run from the repo root on the real
+chip:
 
     python tools/probes/fused_mlp_probe.py [batch ...]
 """

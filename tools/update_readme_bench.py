@@ -37,19 +37,28 @@ def render(rec: dict, src: str) -> str:
     x = rec["parsed"]["extra"]
     b1, bmax = x["bf16_sweep"][0], x["bf16_sweep"][-1]
     w8_b1, w8_bmax, i8 = x["w8a8_batch1"], x["w8a8"], x["int8"]
-    # optional rows (added over rounds); tolerate their absence AND the
-    # {"error": ...} shape bench.py emits when a Pallas backend fails
-    opt = [x.get(k) for k in ("w8a8_batch2", "w8a8_batch1_pallas_mm",
-                              "w8a8_batch1_pallas_stacked")]
+    # serving_auto (round 4+): the shipped batch-keyed default backend —
+    # its rows lead the headline search so the README quotes what a user
+    # of the defaults gets.
+    auto = [r for r in x.get("serving_auto", {}).values()
+            if r and "chunks_per_s" in r]
+    # optional rows (added/removed over rounds); tolerate their absence AND
+    # the {"error": ...} shape bench.py emits when a Pallas backend fails
+    opt = [x.get(k) for k in (
+        "w8a8_batch2", "w8a8_batch1_fused_mlp", "w8a8_batch2_fused_mlp",
+        "w8a8_batch4_fused_mlp", "w8a8_batch1_pallas_mm",
+        "w8a8_batch1_pallas_stacked")]
     opt = [r for r in opt if r and "chunks_per_s" in r]
     ref = x["baseline_chunks_per_s_h100"]
 
     # The headline is whatever the driver recorded as the top-level value —
-    # find that row so the README never disagrees with the record. Keep this
-    # list in sync with bench.py's `rows`.
-    candidates = [w8_b1, w8_bmax, i8, *x["bf16_sweep"], *opt]
-    head = max(candidates, key=lambda r: r["chunks_per_s"])
-    assert head["chunks_per_s"] == rec["parsed"]["value"], (
+    # find that row so the README never disagrees with the record (auto
+    # rows first: on value ties the shipped default wins the label). Keep
+    # this list in sync with bench.py's `rows`.
+    candidates = [*auto, w8_b1, w8_bmax, i8, *x["bf16_sweep"], *opt]
+    head = next((r for r in candidates
+                 if r["chunks_per_s"] == rec["parsed"]["value"]), None)
+    assert head is not None, (
         "headline row not found in extra", rec["parsed"]["value"])
     head_label = (f"batch {head['batch']}"
                   + (f", {head['mode']}" if head.get("mode") else ", bf16"))
@@ -63,6 +72,13 @@ def render(rec: dict, src: str) -> str:
         ("action throughput (best)", "222 actions/s",
          f"**{head['actions_per_s']:.1f} actions/s/chip** "
          f"({head['actions_per_s'] / 222:.1f}x)"),
+    ]
+    if x.get("latency_s_batch1_default") is not None:
+        rows.append(
+            ("chunk latency, batch 1, shipped default (w8a8 auto)", "36 ms",
+             f"**{fmt_ms(x['latency_s_batch1_default'])}** "
+             f"({0.036 / x['latency_s_batch1_default']:.1f}x)"))
+    rows += [
         ("chunk latency, batch 1, bf16", "36 ms",
          f"**{fmt_ms(x['latency_s_batch1'])}** "
          f"({0.036 / x['latency_s_batch1']:.1f}x)"),
@@ -78,7 +94,9 @@ def render(rec: dict, src: str) -> str:
          f"**{w8_bmax['chunks_per_s']:.1f} chunks/s** "
          f"(MFU-bf16 {w8_bmax['mfu']:.2f})"),
     ]
-    mode_label = {"w8a8": "w8a8", "w8a8+pallas_mm": "w8a8 + Pallas matmul",
+    mode_label = {"w8a8": "w8a8",
+                  "w8a8+fused_mlp": "w8a8 + fused-MLP Pallas kernel",
+                  "w8a8+pallas_mm": "w8a8 + Pallas matmul",
                   "w8a8+pallas_stacked": "w8a8 + stacked Pallas matmul"}
     for r in opt:
         if r is head:

@@ -49,14 +49,14 @@ class Predictor:
     # batched-throughput lever. Check models/quantize.forward_error_report
     # (act_int8=True) and task success rates before deploying.
     act_int8: bool = False
-    # W8A8 matmul backend: "xla", "pallas", "pallas_stacked", or "fused"
-    # (ops/pallas_matmul.py / ops/pallas_fused_mlp.py — hand kernels for
-    # the small-row batch-1 shapes; "pallas_stacked" keeps the scanned
-    # stacks' int8 kernels unsliced in HBM via scalar-prefetch indexing; see
-    # models/layers.Runtime.w8a8_impl for the measured dispatch guidance;
-    # "fused" adds the whole-MLP kernel that keeps the wide intermediates
-    # in VMEM).
-    w8a8_impl: str = "xla"
+    # W8A8 matmul backend: "auto" (default; batch-keyed dispatch — the
+    # whole-MLP fused Pallas kernel at batch <= W8A8_FUSED_MAX_BATCH where
+    # it measures fastest, XLA above; see models/layers.resolve_w8a8_impl
+    # and BENCH_r03/r04), "xla", or "fused" (force one backend). Both
+    # backends of "auto" share the same device weight buffers — the fused
+    # layout's qstack collection is a re-grouping of references, not a
+    # copy.
+    w8a8_impl: str = "auto"
     # Ship uint8 pixels and normalize on-device: halves host->device bytes
     # per request (the (B, n_img, H, W, 6) tensor travels as 1 byte/chan
     # instead of 2+), with bit-identical fp32 normalization math. Off only
@@ -64,18 +64,18 @@ class Predictor:
     device_normalize: bool = True
 
     def __post_init__(self):
-        if self.int8 or self.act_int8:
-            import dataclasses as _dc
+        import dataclasses as _dc
 
+        if self.int8 or self.act_int8:
             from vla_adapter_tpu.models.quantize import quantize_params
 
             self.params = quantize_params(jax.device_get(self.params))
             self.rt = _dc.replace(self.rt, weights_int8=True,
                                   act_int8=self.act_int8,
                                   w8a8_impl=self.w8a8_impl)
-        elif self.w8a8_impl != "xla" and not self.rt.act_int8:
-            # w8a8_impl only selects the matmul backend of the act-int8
-            # path; without it the flag would silently do nothing.
+        elif self.w8a8_impl not in ("xla", "auto") and not self.rt.act_int8:
+            # a concrete non-XLA backend only exists on the act-int8 path;
+            # without it the flag would silently do nothing.
             raise ValueError(
                 f"w8a8_impl={self.w8a8_impl!r} requires act_int8 serving — "
                 "pass act_int8=True (float params) or an rt with "
@@ -88,19 +88,53 @@ class Predictor:
         self.int8 = bool(self.rt.weights_int8)
         self.act_int8 = bool(self.rt.act_int8)
         self.w8a8_impl = self.rt.w8a8_impl
-        variables = {"params": self.params}
-        self.model = VLAModel(self.cfg, self.rt)
-        if self.rt.act_int8 and self.rt.stacked_serving:
-            # The scanned stacks expect their int8 kernels in the broadcast
-            # "qstack" collection (full (L, in, out) stacks, never scan-
-            # sliced — models/layers.py). Discover which kernels those are
-            # from the model's own variable structure (shape-only trace)
-            # and split the quantized tree accordingly.
+        if self.w8a8_impl == "auto" and not self.act_int8:
+            # nothing to dispatch between on the float/weight-only paths —
+            # "auto" degenerates to the single XLA backend
+            self.w8a8_impl = "xla"
+            self.rt = _dc.replace(self.rt, w8a8_impl="xla")
+        self.image_processor = image_processor_for(self.cfg.vision)
+        self.transform = VLABatchTransform(
+            self.cfg, self.tokenize, action_tokenizer=None,  # not needed here
+            image_processor=self.image_processor,
+        )
+        mean, std = self.image_processor.norm_constants()
+        self._pix_mean, self._pix_std = jnp.asarray(mean), jnp.asarray(std)
+        self._pixel_pool = None
+        # Weights go to the device ONCE; every backend's variables tree is
+        # a re-grouping of references to these buffers (split_qstack moves
+        # leaves between dicts without copying), so "auto"'s two compiled
+        # backends cost two executables but zero extra weight HBM.
+        params_device = jax.device_put(self.params)
+        if self.w8a8_impl == "auto":
+            impls = ("fused", "xla")
+        else:
+            impls = (self.w8a8_impl,)
+        self._backends = {i: self._make_backend(i, params_device)
+                          for i in impls}
+        # Legacy single-backend attributes point at the batch-1 choice —
+        # the latency-critical robot-control case.
+        self.model, self._params_device, self._fwd = self._backend_for_batch(1)
+
+    def _make_backend(self, impl: str, params_device):
+        """Build (model, device variables, jitted forward) for one concrete
+        w8a8 backend, sharing `params_device`'s buffers."""
+        import dataclasses as _dc
+
+        rt = _dc.replace(self.rt, w8a8_impl=impl)
+        model = VLAModel(self.cfg, rt)
+        variables = {"params": params_device}
+        if rt.act_int8 and rt.stacked_serving:
+            # The scanned stacks expect their int8 MLP kernels in the
+            # broadcast "qstack" collection (full (L, in, out) stacks,
+            # never scan-sliced — models/layers.py). Discover which kernels
+            # those are from the model's own variable structure (shape-only
+            # trace) and split the quantized tree accordingly.
             from vla_adapter_tpu.models.quantize import split_qstack
 
             cfg, v = self.cfg, self.cfg.vision
             shapes = jax.eval_shape(
-                lambda k: self.model.init(
+                lambda k: model.init(
                     k,
                     input_ids=jnp.zeros((1, cfg.max_text_tokens), jnp.int32),
                     prompt_len=jnp.full((1,), 8, jnp.int32),
@@ -108,7 +142,7 @@ class Predictor:
                     pixel_values=jnp.zeros(
                         (1, v.num_images, v.primary.image_size,
                          v.primary.image_size, v.channels_per_image),
-                        self.rt.dtype),
+                        rt.dtype),
                     proprio=jnp.zeros(
                         (1, cfg.constants.proprio_dim), jnp.float32)
                     if cfg.use_proprio else None,
@@ -116,20 +150,26 @@ class Predictor:
                 jax.random.key(0),
             )
             if "qstack" in shapes:
-                params, qstack = split_qstack(self.params, shapes["qstack"])
+                params, qstack = split_qstack(params_device,
+                                              shapes["qstack"])
                 variables = {"params": params, "qstack": qstack}
             # else: act_int8_min_dim gated every kernel off the stacked
             # path — the plain params tree is the whole model.
-        self.image_processor = image_processor_for(self.cfg.vision)
-        self.transform = VLABatchTransform(
-            self.cfg, self.tokenize, action_tokenizer=None,  # not needed here
-            image_processor=self.image_processor,
-        )
-        self._fwd = jax.jit(self._forward)
-        self._params_device = jax.device_put(variables)
-        mean, std = self.image_processor.norm_constants()
-        self._pix_mean, self._pix_std = jnp.asarray(mean), jnp.asarray(std)
-        self._pixel_pool = None
+
+        def forward(variables, ids, prompt_len, valid, pixels, proprio):
+            return self._forward(model, variables, ids, prompt_len, valid,
+                                 pixels, proprio)
+
+        return model, variables, jax.jit(forward)
+
+    def _backend_for_batch(self, batch: int):
+        """Pick the (model, variables, fwd) backend for a batch size —
+        the w8a8 'auto' dispatch (models/layers.resolve_w8a8_impl)."""
+        from vla_adapter_tpu.models.layers import resolve_w8a8_impl
+
+        if len(self._backends) == 1:
+            return next(iter(self._backends.values()))
+        return self._backends[resolve_w8a8_impl("auto", batch)]
 
     def enable_preprocess_pool(self, workers: int = 4) -> None:
         """Route the per-request image pipeline through a process pool —
@@ -140,14 +180,15 @@ class Predictor:
 
         self._pixel_pool = PixelPool(workers)
 
-    def _forward(self, variables, ids, prompt_len, valid, pixels, proprio):
+    def _forward(self, model, variables, ids, prompt_len, valid, pixels,
+                 proprio):
         if pixels.dtype == jnp.uint8:
             # device-side twin of ImageProcessor's normalization: fp32
             # (x/255 - mean)/std, then the runtime cast — bit-identical to
             # the host path, at half the transfer bytes.
             pixels = (pixels.astype(jnp.float32) / 255.0 - self._pix_mean)
             pixels = (pixels / self._pix_std).astype(self.rt.dtype)
-        return self.model.apply(
+        return model.apply(
             variables,
             input_ids=ids,
             prompt_len=prompt_len,
@@ -249,8 +290,9 @@ class Predictor:
                 "be all-proprio or none (serve/batching.py groups by this)")
         if n_proprio and self.cfg.use_proprio:
             proprio = np.stack([r["proprio"] for r in rows])
-        actions = self._fwd(
-            self._params_device,
+        _, variables, fwd = self._backend_for_batch(len(rows))
+        actions = fwd(
+            variables,
             jnp.asarray(np.stack([r["ids"] for r in rows])),
             jnp.asarray(np.asarray([r["plen"] for r in rows], np.int32)),
             jnp.asarray(np.stack([r["valid"] for r in rows])),

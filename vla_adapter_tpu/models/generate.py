@@ -26,7 +26,7 @@ import numpy as np
 
 def _variables(params) -> dict:
     """Accept either a bare params tree or a full flax variables dict —
-    the pallas_stacked serving layout splits the scanned stacks' int8
+    the fused serving layout splits the scanned stacks' int8 MLP
     kernels into a separate "qstack" collection (models/quantize.py
     split_qstack), so decode callers pass {"params": ..., "qstack": ...}."""
     return params if "params" in params else {"params": params}

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -79,21 +80,35 @@ class Runtime:
     # no speed to gain, precision to lose).
     act_int8: bool = False
     act_int8_min_dim: int = 256
+    # TRAIN-time int8 frozen base (VERDICT r3 item 4): with weights_int8 +
+    # act_int8 set, frozen base Denses run their forward on the serving
+    # w8a8 path and their dx-backward on the same int8 MXU path via an STE
+    # custom-VJP (w8a8_matmul_ste) — the frozen W streams at 1 byte in
+    # both passes, and dW is never computed (dead under LoRA anyway).
+    # The trainable head/proprio/projector-of-the-head stay float
+    # (models/vla.py swaps their Runtime); LoRA deltas stay bf16.
+    # Requires w8a8_impl="xla" (the hand kernels define no VJP).
+    train_base_int8: bool = False
     # W8A8 matmul implementation: "xla" (lax.dot_general with fused
-    # quant/dequant epilogues), "pallas" (ops/pallas_matmul.w8a8_matmul —
-    # hand-pipelined weight streaming with the dequant fused in VMEM,
-    # targeting the small-row serving shapes BREAKDOWN.md measured at only
-    # ~50-75% of the int8 roofline under XLA), or "pallas_stacked"
-    # (w8a8_matmul_stacked — scan-stacked weights stay in HBM and the
-    # kernel's scalar-prefetch index_map DMAs the current layer's panels
-    # directly, eliminating the per-layer (K, N) dynamic-slice copy +
-    # re-tiling pass the device trace charges ~0.4 ms/forward to;
-    # BREAKDOWN.md "data formatting"), or "fused" (the pallas_stacked
-    # layout plus ops/pallas_fused_mlp.py: each transformer MLP runs as ONE
-    # kernel so its (M, F) wide intermediates never touch HBM — attacking
-    # the ~1.8 ms/forward of elementwise MLP-midsection fusions the device
-    # trace charges the XLA backend with). Inference-only: these kernels
-    # define no VJP, and every weights_int8 Dense is frozen anyway.
+    # quant/dequant epilogues), "fused" (scan-stacked int8 MLP weights stay
+    # whole in HBM in the broadcast "qstack" collection and
+    # ops/pallas_fused_mlp.py runs each transformer MLP as ONE Pallas
+    # kernel — the (M, F) wide intermediates never touch HBM, and the
+    # kernel's scalar-prefetch index_map DMAs the current layer's weight
+    # panels directly, skipping the per-layer dynamic-slice/re-tiling pass;
+    # the only hand kernel measured faster than XLA end to end, at batch 1:
+    # 117.3 vs 110.2 chunks/s — BENCH_r03), or "auto" (a FRONTEND value:
+    # batch-keyed dispatch picking "fused" at batch <= W8A8_FUSED_MAX_BATCH
+    # and "xla" above, exactly like attention's gate; the two backends need
+    # different param layouts, so "auto" must be resolved to a concrete
+    # backend per batch bucket BEFORE model construction — infer/predict.py
+    # Predictor and serve/* do this; a model built directly with "auto"
+    # raises at trace time). Two slower hand backends from round 3
+    # ("pallas" per-matmul, "pallas_stacked") were demoted out of this
+    # dispatch — their kernels and measured verdicts live on in
+    # ops/pallas_matmul.py, tools/probes/, and BREAKDOWN.md.
+    # Inference-only: the fused kernel defines no VJP, and every
+    # weights_int8 Dense is frozen anyway.
     w8a8_impl: str = "xla"
     # Internal, set by the scanned stacks (Qwen2Model / VisionTransformer)
     # under a stacked serving mode: number of scan iterations, so a
@@ -103,11 +118,42 @@ class Runtime:
     # scan. Build the split variable dict with models/quantize.split_qstack.
     stacked_layers: int = 0
 
+    def __post_init__(self):
+        if self.w8a8_impl not in ("xla", "fused", "auto"):
+            raise ValueError(
+                f"w8a8_impl={self.w8a8_impl!r}: valid backends are 'xla', "
+                "'fused', and the frontend value 'auto' (batch-keyed "
+                "dispatch between them). The round-3 'pallas'/"
+                "'pallas_stacked' backends measured slower than XLA end to "
+                "end and were demoted to tools/probes/ (BREAKDOWN.md).")
+
     @property
     def stacked_serving(self) -> bool:
-        """True for the serving modes that keep scanned stacks' int8
+        """True for the serving mode that keeps scanned stacks' int8 MLP
         kernels whole in the broadcast "qstack" collection."""
-        return self.w8a8_impl in ("pallas_stacked", "fused")
+        return self.w8a8_impl == "fused"
+
+
+# Measured crossover of the batch-keyed "auto" w8a8 dispatch (BENCH_r03,
+# re-confirmed r04 on the v5e chip): the fused whole-MLP kernel wins at
+# batch 1 (117.3 vs 110.2 chunks/s, 8.53 vs 9.07 ms) and loses from batch 2
+# up (122.6 vs 128.8 at b2) — at >=2 chunks the weight streaming the kernel
+# optimizes already amortizes across rows and XLA's cross-op epilogue
+# fusion wins back the difference.
+W8A8_FUSED_MAX_BATCH = 1
+
+
+def resolve_w8a8_impl(impl: str, batch: int) -> str:
+    """Resolve the frontend 'auto' w8a8 backend for a concrete batch size.
+
+    The two backends store weights in different collections (qstack vs
+    params), so — unlike attention's in-graph gate — the choice must be
+    made before model construction; serving layers call this per batch
+    bucket (the dynamic batcher compiles per bucket anyway, so the
+    per-bucket backend choice is free)."""
+    if impl == "auto":
+        return "fused" if batch <= W8A8_FUSED_MAX_BATCH else "xla"
+    return impl
 
 
 # fp32 everywhere — used for CPU parity tests against reference numerics.
@@ -138,6 +184,62 @@ def remat_policy(rt: Runtime, component: str | None = None):
         # cheap norms/attention-projection recompute in the backward.
         return jax.checkpoint_policies.save_only_these_names("mlp_wide")
     raise ValueError(f"unknown remat_policy {policy!r}")
+
+
+def _w8a8_fwd_math(x, kernel_q, kernel_scale, out_dtype):
+    xq, row_scale = quantize_rows(x)
+    y = lax.dot_general(
+        xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * row_scale
+            * kernel_scale.astype(jnp.float32)).astype(out_dtype)
+
+
+@jax.custom_vjp
+def w8a8_matmul_ste(x, kernel_q, kernel_scale):
+    """W8A8 matmul with a straight-through-estimator backward — the
+    TRAINING twin of the serving w8a8 path, for frozen int8 base weights
+    under LoRA (BREAKDOWN.md train table / VERDICT r3 item 4).
+
+    Forward: per-token int8 activation quant, int8xint8->int32 MXU dot,
+    rank-1 dequant — identical math to the serving branch. Backward: the
+    activation quantization is treated as identity (STE) and dx = dy @ W^T
+    runs on the SAME int8 MXU path: dy is scaled by the per-out-channel
+    kernel_scale, quantized per row, and dotted against kernel_q with the
+    OUT axis contracted — the frozen W^T streams at 1 byte/weight just
+    like the forward. No dW is ever computed (the kernel args get
+    zero/float0 cotangents): under LoRA the base kernel is frozen, so its
+    gradient is dead code by construction.
+    """
+    return _w8a8_fwd_math(x, kernel_q, kernel_scale, x.dtype)
+
+
+def _w8a8_ste_fwd(x, kernel_q, kernel_scale):
+    return _w8a8_fwd_math(x, kernel_q, kernel_scale, x.dtype), (
+        kernel_q, kernel_scale)
+
+
+def _w8a8_ste_bwd(res, dy):
+    import numpy as np
+
+    kernel_q, kernel_scale = res
+    # dx = dy @ (kernel_q * scale)^T = (dy * scale) @ kernel_q^T
+    dys = dy.astype(jnp.float32) * kernel_scale.astype(jnp.float32)
+    dq, d_scale = quantize_rows(dys)
+    dx = lax.dot_general(
+        dq, kernel_q, (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dx = (dx.astype(jnp.float32) * d_scale).astype(dy.dtype)
+    return (
+        dx,
+        np.zeros(kernel_q.shape, jax.dtypes.float0),  # int8: float0 cotangent
+        jnp.zeros_like(kernel_scale),
+    )
+
+
+w8a8_matmul_ste.defvjp(_w8a8_ste_fwd, _w8a8_ste_bwd)
 
 
 def quantize_rows(x: jnp.ndarray):
@@ -194,44 +296,6 @@ class Dense(nn.Module):
             # per-Dense matmul; x supplies only the input width.
             assert self.rt.stacked_serving and self.rt.stacked_layers > 0
             return self._stacked_qkernel(in_features)
-        if (
-            self.rt.weights_int8
-            and self.rt.act_int8
-            # under "fused" only the MLP weights live in qstack (consumed
-            # via stacked_weights_only above); the remaining matmuls stay
-            # on the XLA w8a8 path, which beats the stacked kernel for
-            # them (measured: tools/probes/fused_mlp_probe.py)
-            and self.rt.w8a8_impl == "pallas_stacked"
-            and self.rt.stacked_layers > 0
-            and layer is not None
-            and min(in_features, self.features) >= self.rt.act_int8_min_dim
-        ):
-            # Stacked-serving path: this Dense sits inside a layer scan
-            # (Qwen2Model / VisionTransformer set rt.stacked_layers and
-            # thread the loop index in as `layer`). The quantized kernel is
-            # declared as the FULL (L, in, out) stack in the broadcast
-            # "qstack" collection — nn.scan never slices it — and the
-            # Pallas kernel's scalar-prefetch index_map reads the current
-            # layer's weight panels straight out of the stacked HBM buffer.
-            from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul_stacked
-
-            assert self.rt.lora_rank == 0, (
-                "stacked serving expects LoRA merged into the base "
-                "weights (weights/merge.py) before quantization")
-            kernel_q, kernel_scale, bias = self._stacked_qkernel(in_features)
-            xq, row_scale = quantize_rows(x)
-            lead = x.shape[:-1]
-            y = w8a8_matmul_stacked(
-                xq.reshape(-1, in_features),
-                row_scale.reshape(-1, 1),
-                kernel_q,
-                kernel_scale,
-                layer,
-                out_dtype=self.rt.dtype,
-            ).reshape(*lead, self.features)
-            if bias is not None:
-                y = y + bias.astype(self.rt.dtype)
-            return y
         if self.rt.weights_int8:
             kernel_q = self.param(
                 "kernel_q",
@@ -246,31 +310,24 @@ class Dense(nn.Module):
             if self.rt.act_int8 and min(
                 in_features, self.features
             ) >= self.rt.act_int8_min_dim:
+                if self.rt.w8a8_impl == "auto":
+                    raise ValueError(
+                        "Runtime(w8a8_impl='auto') reached a module: 'auto' "
+                        "is a frontend value — resolve it per batch with "
+                        "models.layers.resolve_w8a8_impl before building "
+                        "the model (infer/predict.py does this).")
                 # W8A8: dynamic per-token activation quant, int8 MXU matmul.
-                xq, row_scale = quantize_rows(x)
-                if self.rt.w8a8_impl == "pallas":
-                    from vla_adapter_tpu.ops.pallas_matmul import w8a8_matmul
-
-                    lead = x.shape[:-1]
-                    y = w8a8_matmul(
-                        xq.reshape(-1, in_features),
-                        row_scale.reshape(-1, 1),
-                        kernel_q,
-                        kernel_scale,
-                        out_dtype=self.rt.dtype,
-                    ).reshape(*lead, self.features)
+                # Under "fused" only the whole-MLP kernels are hand-written
+                # (consumed via stacked_weights_only above); every other
+                # matmul stays on this XLA path, which beats the round-3
+                # per-matmul hand kernels for them (BREAKDOWN.md).
+                if self.rt.train_base_int8:
+                    # differentiable twin (STE backward on the int8 MXU)
+                    y = w8a8_matmul_ste(
+                        x.astype(self.rt.dtype), kernel_q, kernel_scale)
                 else:
-                    y = lax.dot_general(
-                        xq,
-                        kernel_q,
-                        (((x.ndim - 1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    y = (
-                        y.astype(jnp.float32)
-                        * row_scale
-                        * kernel_scale.astype(jnp.float32)
-                    ).astype(self.rt.dtype)
+                    y = _w8a8_fwd_math(x, kernel_q, kernel_scale,
+                                       self.rt.dtype)
             else:
                 # int8 upcast in-register; HBM only streams 1 byte/weight.
                 y = lax.dot_general(

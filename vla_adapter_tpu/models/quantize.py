@@ -68,10 +68,10 @@ def split_qstack(
     q_params: Dict[str, Any], qstack_shapes: Dict[str, Any]
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Split a :func:`quantize_params` tree for stacked serving
-    (``w8a8_impl="pallas_stacked"`` or ``"fused"``).
+    (``w8a8_impl="fused"``).
 
-    With ``Runtime(w8a8_impl="pallas_stacked")`` the scanned stacks declare
-    their stacked-eligible int8 kernels in the broadcast "qstack" collection
+    With ``Runtime(w8a8_impl="fused")`` the scanned stacks declare their
+    stacked MLP int8 kernels in the broadcast "qstack" collection
     (models/layers.py) rather than scan-sliced "params". ``qstack_shapes``
     is that collection's tree from ``model.init`` / ``jax.eval_shape`` —
     its paths name exactly the kernels to move. Returns ``(params,

@@ -19,6 +19,15 @@ simultaneously.
 
 Replaces nothing in the reference (its CUDA path serves bf16); this is a
 TPU-specific optimization of the framework's own w8a8 serving mode.
+
+STATUS (round 4): both kernels here measured SLOWER than XLA end to end
+(plain 73.7 / stacked 85.9 vs XLA 110.2 chunks/s at batch 1 — BREAKDOWN.md:
+the hand kernels forfeit XLA's cross-op epilogue fusion) and were demoted
+out of the model dispatch (models/layers.Runtime.w8a8_impl is now
+{xla, fused, auto}). They remain here as (a) the numerical oracle chain for
+the winning whole-MLP kernel (ops/pallas_fused_mlp.py reuses the stacked
+scalar-prefetch layout and is tested against these in tests/test_ops.py)
+and (b) the probe surface (tools/probes/w8a8_kernel_probe.py).
 """
 
 from __future__ import annotations

@@ -211,7 +211,7 @@ def run_load(
 
 
 def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
-                     w8a8_impl: str = "xla"):
+                     w8a8_impl: str = "auto"):
     import dataclasses as _dc
 
     import jax
@@ -258,13 +258,12 @@ def _build_predictor(tiny: bool, int8: bool, act_int8: bool,
                      act_int8=act_int8, w8a8_impl=w8a8_impl)
         int8 = act_int8 = False
 
-    # Shape the zero params with the NON-stacked layout: under
-    # "pallas_stacked" the scanned stacks declare their int8 kernels in the
-    # separate "qstack" collection, but Predictor expects `params` as a full
+    # Shape the zero params with the NON-stacked layout: under "fused" the
+    # scanned stacks declare their int8 MLP kernels in the separate
+    # "qstack" collection, but Predictor expects `params` as a full
     # quantize_params-style tree and performs the qstack split itself
-    # (keyed on rt.w8a8_impl). The params layouts of "xla"/"pallas" are
-    # identical, so this trace is representative either way.
-    layout_rt = rt if not rt.stacked_serving else _dc.replace(
+    # per backend (keyed on rt.w8a8_impl, incl. the "auto" pair).
+    layout_rt = rt if rt.w8a8_impl == "xla" else _dc.replace(
         rt, w8a8_impl="xla")
     model = VLAModel(cfg, layout_rt)
     v = cfg.vision
@@ -308,9 +307,12 @@ def main(argv: Optional[List[str]] = None) -> Dict:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--act-int8", action="store_true")
-    p.add_argument("--w8a8-impl", default="xla",
-                   choices=("xla", "pallas", "pallas_stacked", "fused"),
-                   help="w8a8 matmul backend (ops/pallas_matmul.py)")
+    p.add_argument("--w8a8-impl", default="auto",
+                   choices=("auto", "xla", "fused"),
+                   help="w8a8 matmul backend: 'auto' dispatches per batch "
+                        "bucket (fused whole-MLP Pallas kernel at batch 1, "
+                        "XLA above — the measured crossover; "
+                        "models/layers.resolve_w8a8_impl)")
     p.add_argument("--dynamic-batch", action="store_true")
     p.add_argument("--prewarm", action="store_true",
                    help="compile every batch bucket before applying load")
