@@ -185,6 +185,23 @@ def shard_batch_from_local(batch, mesh: Mesh, batch_axis: int = 0):
     return jax.tree.map(one, batch)
 
 
+def host_local_rows(x, batch_axis: int = 0) -> np.ndarray:
+    """This process's rows of a batch-axis-sharded global device array, as
+    numpy, in local order — the read-side inverse of
+    :func:`shard_batch_from_local` for small per-example outputs (the
+    train step's per-sample metrics). Single-process (or replicated):
+    returns the whole array."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    chunks = {}
+    for s in x.addressable_shards:
+        idx = s.index[batch_axis]
+        # dedupe replicas: multiple local devices may hold the same slice
+        chunks[idx.start or 0] = np.asarray(s.data)
+    return np.concatenate([chunks[k] for k in sorted(chunks)],
+                          axis=batch_axis)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim split over (data, fsdp) — every device computes distinct
     examples (DDP- or ZeRO-style depending on the param sharding)."""

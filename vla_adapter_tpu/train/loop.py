@@ -21,6 +21,7 @@ from vla_adapter_tpu.models.layers import Runtime
 from vla_adapter_tpu.models.vla import VLAModel
 from vla_adapter_tpu.parallel.sharding import (
     create_mesh,
+    host_local_rows,
     per_process_seed,
     process_local_batch_size,
     shard_batch_from_local,
@@ -63,7 +64,19 @@ def build_runtime(cfg: TrainConfig) -> Runtime:
         remat_policy=cfg.remat_policy,
         remat_policy_overrides=tuple(cfg.remat_policy_overrides),
         remat_components=cfg.remat_components,
+        weights_int8=cfg.base_int8,
+        act_int8=cfg.base_int8,
+        train_base_int8=cfg.base_int8,
     )
+
+
+def float_twin(rt: Runtime) -> Runtime:
+    """The float-kernel Runtime matching a train_base_int8 runtime — used
+    to INITIALIZE params (init must produce float kernels to quantize)."""
+    import dataclasses as _dc
+
+    return _dc.replace(rt, weights_int8=False, act_int8=False,
+                       train_base_int8=False)
 
 
 def finetune(
@@ -97,11 +110,18 @@ def finetune(
         ))
 
     first = next(data_iter)
-    example = (jax.tree.map(lambda x: x[0], first)
-               if cfg.grad_accumulation_steps > 1 else first)
+    example = {k: v for k, v in first.items() if k != "dataset_name"}
+    if cfg.grad_accumulation_steps > 1:
+        example = jax.tree.map(lambda x: x[0], example)
     example = jax.tree.map(jnp.asarray, example)
 
-    state = init_train_state(model, tx, example, jax.random.key(cfg.seed),
+    # train_base_int8: initialize with FLOAT kernels (the int8 layout is a
+    # storage transform, not an init distribution), then quantize the
+    # frozen subtree below. The step model (rt) expects kernel_q/scale.
+    init_model = (VLAModel(cfg.model, float_twin(rt))
+                  if rt.train_base_int8 else model)
+    state = init_train_state(init_model, tx, example,
+                             jax.random.key(cfg.seed),
                              lora_enabled=cfg.lora.enabled)
     frozen = state.frozen
     if cfg.frozen_bf16:
@@ -110,6 +130,10 @@ def finetune(
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
             frozen,
         )
+    if rt.train_base_int8:
+        from vla_adapter_tpu.models.quantize import quantize_params
+
+        frozen = quantize_params(jax.device_get(frozen))
     state = TrainState(
         step=state.step,
         trainable=shard_params(state.trainable, mesh),
@@ -178,19 +202,47 @@ def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
     # with TPU compute. Deferring the fetch until after the *next* step is
     # dispatched keeps the device queue full — the previous step has always
     # finished by then, so the commit costs ~nothing.
-    pending = None  # (step_idx, device metrics of the step before)
+    pending = None  # (step_idx, device metrics, dataset names of that step)
 
-    def commit(idx, m):
-        metrics.commit(**{k: float(v) for k, v in jax.device_get(m).items()})
+    # grad-accumulation batches are (A, B/A, ...): the example axis is 1
+    batch_axis = 1 if cfg.grad_accumulation_steps > 1 else 0
+
+    def commit(idx, m, names):
+        host = dict(m)
+        per_sample = host.pop("per_sample", None)
+        metrics.commit(**{k: float(v)
+                          for k, v in jax.device_get(host).items()})
+        if per_sample and names is not None:
+            # Per-dataset mixture attribution (reference VLAMetrics
+            # per-dataset trackers, training/metrics.py:208-348): pair this
+            # PROCESS's per-sample rows with its host-local dataset names —
+            # the reference likewise attributes per rank and logs rank 0.
+            names_arr = np.asarray(names)
+            b_local = names_arr.shape[-1] if names_arr.ndim else 0
+            p, nproc = jax.process_index(), jax.process_count()
+
+            def extract(v):
+                arr = host_local_rows(v, batch_axis)
+                if nproc > 1 and arr.shape[batch_axis] == b_local * nproc:
+                    # replicated-output fallback: every process got all
+                    # rows — take this process's contiguous block
+                    # (make_array_from_process_local_data layout)
+                    arr = np.take(arr, range(p * b_local, (p + 1) * b_local),
+                                  axis=batch_axis)
+                return arr.reshape(-1)
+
+            local = {k: extract(v) for k, v in per_sample.items()}
+            flat_names = names_arr.reshape(-1).tolist()
+            if all(len(v) == len(flat_names) for v in local.values()):
+                metrics.commit_per_dataset(flat_names, local)
         if idx % cfg.log_freq == 0:
             sm = metrics.push(idx)
             print(f"step {idx}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sm.items()), flush=True)
 
-    # grad-accumulation batches are (A, B/A, ...): the example axis is 1
-    batch_axis = 1 if cfg.grad_accumulation_steps > 1 else 0
     try:
         for step_idx in range(start_step, max_steps):
+            names = batch.get("dataset_name")
             device_batch = {k: v for k, v in batch.items()
                             if k != "dataset_name"}
             device_batch = shard_batch_from_local(
@@ -199,7 +251,7 @@ def _train(cfg, state, step_fn, metrics, data_iter, batch, rng, start_step,
                                jax.random.fold_in(rng, step_idx))
             if pending is not None:
                 commit(*pending)
-            pending = (step_idx, m)
+            pending = (step_idx, m, names)
             if step_idx > 0 and step_idx % cfg.save_freq == 0:
                 save_checkpoint(run_dir, state, dataset_statistics,
                                 latest_only=cfg.save_latest_checkpoint_only)

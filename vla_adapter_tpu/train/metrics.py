@@ -78,6 +78,33 @@ class Metrics:
                 k, collections.deque(maxlen=self.window)
             ).append(float(v))
 
+    def commit_per_dataset(self, dataset_names, per_sample) -> None:
+        """Per-dataset mixture attribution (reference
+        VLAMetrics.commit_for_dataset + per-dataset push keys,
+        prismatic/training/metrics.py:208-348: "{ds}/L1 Loss",
+        "{ds}/Action Token Accuracy").
+
+        dataset_names: sequence of per-row names (str or bytes, length B)
+        aligned with the step's per-sample metric rows. per_sample: dict
+        of metric name -> (B,) array (train/step.py "per_sample"). Each
+        dataset's rows are averaged into its own smoothed deque under the
+        reference-shaped key "{ds}/{metric}", so mixture training logs the
+        per-dataset signal the reference operator watches.
+        """
+        names = [n.decode() if isinstance(n, bytes) else str(n)
+                 for n in dataset_names]
+        values = {k: np.asarray(v, np.float64) for k, v in per_sample.items()}
+        for ds in sorted(set(names)):
+            rows = np.asarray([i for i, n in enumerate(names) if n == ds])
+            for k, v in values.items():
+                if len(v) != len(names):
+                    raise ValueError(
+                        f"per_sample[{k!r}] has {len(v)} rows for "
+                        f"{len(names)} dataset names")
+                self._deques.setdefault(
+                    f"{ds}/{k}", collections.deque(maxlen=self.window)
+                ).append(float(v[rows].mean()))
+
     def smoothed(self) -> Dict[str, float]:
         return {k: float(np.mean(d)) for k, d in self._deques.items() if d}
 

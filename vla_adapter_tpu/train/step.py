@@ -77,6 +77,17 @@ def token_prediction_loss(logits, labels, valid, action_tokenizer_len,
         "next_actions_accuracy": acc(next_mask),
         "curr_action_l1_loss": l1(curr_mask),
         "next_actions_l1_loss": l1(next_mask),
+        # Per-SAMPLE metrics for per-dataset mixture attribution (reference
+        # VLAMetrics.commit_for_dataset, prismatic/training/metrics.py:
+        # 208-348): the host groups these rows by the batch's dataset_name
+        # (train/loop.py) — the device never sees strings.
+        "per_sample": {
+            "loss": jnp.sum(nll * mask, axis=1)
+            / jnp.maximum(jnp.sum(mask, axis=1), 1),
+            "curr_action_accuracy": (
+                jnp.sum((preds == targets) & curr_mask, axis=1)
+                / jnp.maximum(jnp.sum(curr_mask, axis=1), 1)),
+        },
     }
     return loss, metrics
 
@@ -92,6 +103,12 @@ def l1_action_loss(pred: jnp.ndarray, gt: jnp.ndarray):
         "loss": loss,
         "curr_action_l1_loss": err[:, 0].mean(),
         "next_actions_l1_loss": err[:, 1:].mean(),
+        # per-sample rows for host-side per-dataset mixture attribution
+        # (reference per-dataset L1 trackers, training/metrics.py:208-348)
+        "per_sample": {
+            "loss": err.mean(axis=(1, 2)),
+            "curr_action_l1_loss": err[:, 0].mean(axis=-1),
+        },
     }
     return loss, metrics
 
@@ -146,33 +163,42 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, batch, rng
         )
-        return grads, metrics
+        # per-sample rows attribute to distinct examples — they must be
+        # stacked across microbatches (scan ys), never summed like the
+        # batch-mean scalars.
+        per_sample = metrics.pop("per_sample", {})
+        return grads, metrics, per_sample
 
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
         if accum > 1:
             def scan_body(carry, micro):
                 g_acc, m_acc, i = carry
-                g, m = single_grads(
+                g, m, ps = single_grads(
                     state.trainable, state.frozen, micro,
                     jax.random.fold_in(rng, i),
                 )
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 m_acc = jax.tree.map(jnp.add, m_acc, m)
-                return (g_acc, m_acc, i + 1), ()
+                return (g_acc, m_acc, i + 1), ps
 
-            g_shape, m_shape = jax.eval_shape(
+            g_shape, m_shape, _ = jax.eval_shape(
                 single_grads, state.trainable, state.frozen,
                 jax.tree.map(lambda x: x[0], batch), rng,
             )
             zeros_g = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), g_shape)
             zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
-            (grads, metrics, _), _ = jax.lax.scan(
+            (grads, metrics, _), per_sample = jax.lax.scan(
                 scan_body, (zeros_g, zeros_m, 0), batch
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
             metrics = jax.tree.map(lambda m: m / accum, metrics)
+            # per_sample keeps the batch's (accum, micro) layout — the
+            # example axis stays LAST so multi-host consumers can slice
+            # their local rows off it (train/loop.py)
         else:
-            grads, metrics = single_grads(state.trainable, state.frozen, batch, rng)
+            grads, metrics, per_sample = single_grads(
+                state.trainable, state.frozen, batch, rng)
+        metrics["per_sample"] = per_sample
 
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
@@ -193,6 +219,9 @@ def make_eval_step(model: VLAModel, objective: str = "l1"):
 
     def step(state: TrainState, batch, rng):
         _, metrics = loss_fn(state.trainable, state.frozen, batch, rng)
+        # validation averages scalars over val batches — per-sample rows
+        # are a train-mixture attribution concern only
+        metrics.pop("per_sample", None)
         return metrics
 
     return step
