@@ -357,3 +357,77 @@ def test_multidevice_tp_train_step_attn_only_remat():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m1["grad_norm"]),
                                float(m2["grad_norm"]), rtol=1e-4)
+
+
+def test_w8a8_matmul_ste_forward_and_grad():
+    """The int8-frozen-base training matmul (models/layers.w8a8_matmul_ste):
+    forward is bit-identical to the serving w8a8 math; the STE backward's
+    dx matches the exact dy @ W^T to quantization tolerance; the frozen
+    kernel args receive no gradient (float0/zero cotangents)."""
+    from vla_adapter_tpu.models.layers import _w8a8_fwd_math, w8a8_matmul_ste
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 64)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (64, 96)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.02, (96,)), jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(w8a8_matmul_ste(x, kq, ks)),
+        np.asarray(_w8a8_fwd_math(x, kq, ks, jnp.float32)))
+
+    weights = jnp.arange(96, dtype=jnp.float32)
+    dx = jax.grad(lambda x: (w8a8_matmul_ste(x, kq, ks) * weights).sum())(x)
+    w_full = np.asarray(kq, np.float32) * np.asarray(ks)[None]
+    dy = np.broadcast_to(np.arange(96, dtype=np.float32), (5, 96))
+    dx_exact = dy @ w_full.T
+    rel = np.abs(np.asarray(dx) - dx_exact).max() / np.abs(dx_exact).max()
+    assert rel < 0.02, rel
+
+    # composes with remat (the training config always checkpoints the base)
+    g = jax.jit(jax.grad(lambda x: jax.checkpoint(
+        lambda h: w8a8_matmul_ste(h, kq, ks).sum())(x)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_base_int8_loss_curve_matches_float(tmp_path):
+    """int8-frozen-base training (TrainConfig.base_int8 / VERDICT r3 item
+    4): the DummyDataset loss curve under the quantized base tracks the
+    float-base curve — the numerics gate for adopting the 2x-int8-MXU
+    train step. act_int8_min_dim=1 forces the STE int8 path onto every
+    tiny-geometry matmul, making this a WORST-CASE noise test (real 896+
+    dims quantize relatively finer)."""
+    import dataclasses as _dc
+    import json as _json
+
+    from vla_adapter_tpu.train.loop import finetune
+
+    steps = 120
+    cfg = TrainConfig(
+        model=TINY_CFG,
+        optim=OptimizerConfig(learning_rate=1e-3, max_steps=steps,
+                              num_steps_before_decay=10_000),
+        batch_size=4, data_axis=2, save_freq=100_000, log_freq=1,
+        remat_llm=False, run_root_dir=str(tmp_path / "f32"),
+    )
+    rt_f = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                   attn_impl="xla", lora_rank=2, lora_scale=2.0)
+    rt_q = _dc.replace(rt_f, weights_int8=True, act_int8=True,
+                       act_int8_min_dim=1, train_base_int8=True)
+
+    def curve(run_root, rt):
+        finetune(cfg.replace(run_root_dir=run_root), rt=rt)
+        run_dir = next(iter(__import__("pathlib").Path(run_root).iterdir()))
+        rows = [_json.loads(l) for l in
+                (run_dir / "metrics.jsonl").read_text().splitlines()]
+        return [r["loss"] for r in rows]
+
+    f32 = curve(str(tmp_path / "f32"), rt_f)
+    q8 = curve(str(tmp_path / "q8"), rt_q)
+    assert len(f32) == len(q8) == steps
+    # both learn, and the quantized curve tracks the float one
+    assert f32[-1] < 0.7 * f32[0] and q8[-1] < 0.7 * q8[0], (f32[-1], q8[-1])
+    rel_final = abs(q8[-1] - f32[-1]) / f32[-1]
+    assert rel_final < 0.15, (f32[-1], q8[-1])
+    # no divergence anywhere along the curve
+    worst = max(abs(a - b) / max(b, 1e-6) for a, b in zip(q8, f32))
+    assert worst < 0.35, worst

@@ -375,6 +375,14 @@ class TrainConfig:
     # Store frozen (non-trained) params in bf16 — halves the frozen base's
     # HBM with no optimizer impact (compute is bf16 anyway).
     frozen_bf16: bool = True
+    # Run the FROZEN base's matmuls in w8a8 int8 during training (forward
+    # AND dx-backward via an STE custom-VJP; models/layers.w8a8_matmul_ste).
+    # The base is frozen under LoRA, so dW is dead code and the int8 MXU's
+    # 2x path applies to ~all base FLOPs; the trainable head/proprio/LoRA
+    # stay float. Quantization noise enters the loss — gate on a
+    # DummyDataset loss-curve comparison before adopting for a real run
+    # (tests/test_train_step.py test_base_int8_*).
+    base_int8: bool = False
     save_freq: int = 10_000
     save_latest_checkpoint_only: bool = True
     run_root_dir: str = "runs"

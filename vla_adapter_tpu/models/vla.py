@@ -197,10 +197,19 @@ class VLAModel(nn.Module):
             head_input = jnp.concatenate([task_states, action_states], axis=2)
 
             # --- head ---
+            head_rt = rt
+            if rt.train_base_int8:
+                # int8-frozen-base training quantizes only the FROZEN
+                # stacks (vit/llm/projector); the fully-trainable head and
+                # proprio projector keep float kernels and exact gradients.
+                import dataclasses as _dc
+
+                head_rt = _dc.replace(rt, weights_int8=False,
+                                      act_int8=False, train_base_int8=False)
             proprio_features = None
             if cfg.use_proprio and proprio is not None:
                 proprio_features = ProprioProjector(
-                    cfg.llm.hidden_size, rt=rt, name="proprio_projector"
+                    cfg.llm.hidden_size, rt=head_rt, name="proprio_projector"
                 )(proprio)[:, None, :]
 
             out["actions"] = L1RegressionActionHead(
@@ -208,7 +217,7 @@ class VLAModel(nn.Module):
                 action_dim=consts.action_dim,
                 num_actions_chunk=consts.num_actions_chunk,
                 num_task_tokens=num_patches,
-                rt=rt,
+                rt=head_rt,
                 name="action_head",
             )(head_input, proprio_features, train=train)
             if return_hidden_states:
