@@ -181,12 +181,17 @@ def bench_forward(model, cfg, batch, k_chain, iters, overhead, int8=False):
     return max(wall - overhead, 1e-9) / k_chain
 
 
-def bench_train_step(overhead):
-    """One flagship LoRA-r64 train step (bs8, remat) — reference hot loop."""
+def bench_train_step(overhead, base_int8=False):
+    """One flagship LoRA-r64 train step (bs8, remat) — reference hot loop.
+
+    base_int8=True measures the shipped LoRA-recipe default
+    (core/experiments.py): the frozen base's matmuls run w8a8 int8 with an
+    STE dx-backward. base_int8=False is the bf16-base row, kept for
+    cross-round comparability with BENCH_r01–r03."""
     from vla_adapter_tpu.core.config import TrainConfig
     from vla_adapter_tpu.data.dummy import make_dummy_batch
-    from vla_adapter_tpu.models.layers import Runtime
     from vla_adapter_tpu.models.vla import VLAModel
+    from vla_adapter_tpu.train.loop import build_runtime, float_twin
     from vla_adapter_tpu.train.optim import make_optimizer
     from vla_adapter_tpu.train.partition import split_trainable
     from vla_adapter_tpu.train.step import TrainState, make_train_step
@@ -195,13 +200,9 @@ def bench_train_step(overhead):
     # tested in test_train_step), measured faster than one bs8 microbatch
     # on v5e (0.364 vs 0.405 s/step — the halved activation footprint
     # schedules better; r3 sweep, tools/probes/sweep_remat.py).
-    tcfg = TrainConfig(batch_size=8, grad_accumulation_steps=2)
-    rt = Runtime(
-        dtype=jnp.bfloat16, param_dtype=jnp.float32,
-        lora_rank=tcfg.lora.rank, lora_scale=tcfg.lora.scale,
-        remat=True, remat_policy=tcfg.remat_policy,
-        remat_components=tcfg.remat_components, attn_impl="auto_bwd",
-    )
+    tcfg = TrainConfig(batch_size=8, grad_accumulation_steps=2,
+                       base_int8=base_int8)
+    rt = build_runtime(tcfg)
     model = VLAModel(tcfg.model, rt)
     tx = make_optimizer(tcfg.optim)
 
@@ -210,8 +211,12 @@ def bench_train_step(overhead):
                                 accum_steps=tcfg.grad_accumulation_steps)
     batch = jax.tree.map(jnp.asarray, batch_np)
     example = jax.tree.map(lambda x: x[0], batch)  # one microbatch
+    # init shapes come from the FLOAT twin when the base is int8 (the int8
+    # layout is a storage transform applied to the frozen subtree below)
+    init_model = (VLAModel(tcfg.model, float_twin(rt))
+                  if base_int8 else model)
     shapes = jax.eval_shape(
-        lambda: model.init(
+        lambda: init_model.init(
             {"params": jax.random.key(0), "noise": jax.random.key(1)},
             input_ids=example["input_ids"], prompt_len=example["prompt_len"],
             text_valid=example["text_valid"],
@@ -224,6 +229,11 @@ def bench_train_step(overhead):
     frozen = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
+    if base_int8:
+        from vla_adapter_tpu.models.quantize import quantize_params
+
+        frozen = jax.tree.map(jnp.asarray,
+                              quantize_params(jax.device_get(frozen)))
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        frozen=frozen, opt_state=tx.init(trainable))
     # donate the state: the optimizer update reuses its buffers in place,
@@ -382,8 +392,16 @@ def main():
             "models/layers.W8A8_FUSED_MAX_BATCH")
 
     train_step_s = None
+    train_step_int8_s = None
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         train_step_s = bench_train_step(overhead)
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        # the shipped LoRA-recipe default (int8 frozen base,
+        # core/experiments.py; numerics gate in test_train_step)
+        train_step_int8_s = bench_train_step(overhead, base_int8=True)
 
     latency_row = next((r for r in sweep if r["batch"] == 1), sweep[0])
     # the default serving stack's batch-1 latency (auto -> fused at b1)
@@ -415,6 +433,8 @@ def main():
             "latency_s_batch1_default": best_b1["s_per_forward"],
             "train_step_s_bs8_lora64": (
                 round(train_step_s, 4) if train_step_s else None),
+            "train_step_s_bs8_lora64_int8base": (
+                round(train_step_int8_s, 4) if train_step_int8_s else None),
             "dispatch_overhead_s": round(overhead, 4),
             "baseline_chunks_per_s_h100": round(REF_CHUNKS_PER_S, 2),
             "dispatch_note": dispatch_note,

@@ -54,3 +54,40 @@ def test_all_cli_configs_parse():
         with pytest.raises(SystemExit, match="':'-separated"):
             parse_config(FinetuneCLIConfig,
                          ["--train.remat_policy_overrides", bad])
+
+
+def test_experiment_recipe_seeds_cli_config():
+    """--experiment seeds train+data from the registry (reference
+    --vla.type, prismatic/conf/vla.py) and explicit flags still win."""
+    from vla_adapter_tpu.core.experiments import VLA_EXPERIMENTS
+    from vla_adapter_tpu.train.finetune import (
+        FinetuneCLIConfig,
+        config_from_experiment,
+    )
+
+    base = config_from_experiment("vla-adapter+libero-spatial")
+    assert base.data.mixture == "libero_spatial_no_noops"
+    assert base.train.batch_size == 64
+    assert base.train.optim.max_steps == 100_000
+    assert base.train.run_id == "vla-adapter+libero-spatial"
+    assert base.train.lora.enabled
+    # LoRA recipes adopt the int8 frozen base (BREAKDOWN round-4 table);
+    # full-train recipes must NOT (their base weights receive gradients)
+    assert base.train.base_int8
+    full = config_from_experiment(
+        "prism-qwen25-dinosiglip-224px+0_5b+mx-oxe-magic-soup")
+    assert not full.train.lora.enabled and not full.train.base_int8
+    # explicit flags override the recipe (the main() two-pass parse)
+    cfg = parse_config(
+        FinetuneCLIConfig,
+        ["--experiment", "vla-adapter+libero-spatial",
+         "--train.batch_size", "8", "--train.base_int8", "false"],
+        base=base)
+    assert cfg.train.batch_size == 8 and not cfg.train.base_int8
+    assert cfg.data.mixture == "libero_spatial_no_noops"
+    # every registered recipe materializes a coherent config
+    for vla_id in VLA_EXPERIMENTS:
+        c = config_from_experiment(vla_id)
+        assert c.train.model.llm.hidden_size > 0
+    with pytest.raises(KeyError, match="unknown experiment"):
+        config_from_experiment("nope")

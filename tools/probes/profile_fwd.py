@@ -76,9 +76,11 @@ def profile_forward():
     from vla_adapter_tpu.models.vla import VLAModel
 
     cfg = VLAConfig()
-    batch = 1
+    batch = int(os.environ.get("PROFILE_BATCH", "1"))
+    impl = os.environ.get("PROFILE_IMPL", "xla")  # "xla" | "fused"
     rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                 attn_impl="auto", weights_int8=True, act_int8=True)
+                 attn_impl="auto", weights_int8=True, act_int8=True,
+                 w8a8_impl=impl)
     model = VLAModel(cfg, rt)
     v = cfg.vision
     t_text = cfg.max_text_tokens
@@ -88,11 +90,14 @@ def profile_forward():
     valid = jnp.zeros((batch, t_text), jnp.int32).at[:, : 24 + num_q + 1].set(1)
     pix_shape = (batch, v.num_images, v.primary.image_size,
                  v.primary.image_size, v.channels_per_image)
-    params = zeros_like_shapes(jax.eval_shape(
+    shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.key(0), input_ids=ids, prompt_len=plen,
             text_valid=valid, pixel_values=jnp.zeros(pix_shape, jnp.bfloat16),
-            proprio=jnp.zeros((batch, 8), jnp.float32))))
+            proprio=jnp.zeros((batch, 8), jnp.float32)))
+    # fused layout: shapes carries BOTH collections ({"params", "qstack"});
+    # the zeros tree matches either layout by construction
+    params = zeros_like_shapes(shapes)
 
     @jax.jit
     def fwd(params, pixels, proprio):
@@ -111,7 +116,7 @@ def profile_forward():
     with jax.profiler.trace(root):
         for i in range(1, 4):
             jax.block_until_ready(fwd(*args(i)))
-    aggregate(newest_trace(root), "b1 w8a8 forward x3")
+    aggregate(newest_trace(root), f"b{batch} w8a8[{impl}] forward x3")
 
 
 def profile_train():

@@ -101,6 +101,9 @@ def train_step_time(overhead, base_int8, accum=2, batch_size=8):
 
 
 def main():
+    import bench as _bench
+
+    _bench.check_device_reachable()  # fail fast if the tunnel is wedged
     overhead = measure_dispatch_overhead()
     print(f"dispatch overhead {overhead*1e3:.1f} ms", flush=True)
     rows = [("bf16 base (default)", False, 2),

@@ -379,9 +379,14 @@ class TrainConfig:
     # AND dx-backward via an STE custom-VJP; models/layers.w8a8_matmul_ste).
     # The base is frozen under LoRA, so dW is dead code and the int8 MXU's
     # 2x path applies to ~all base FLOPs; the trainable head/proprio/LoRA
-    # stay float. Quantization noise enters the loss — gate on a
-    # DummyDataset loss-curve comparison before adopting for a real run
-    # (tests/test_train_step.py test_base_int8_*).
+    # stay float. Numerics gate: the DummyDataset loss curve under the
+    # quantized base tracks float within 15% (tests/test_train_step.py
+    # test_base_int8_loss_curve_matches_float, worst-case tiny geometry).
+    # Measured on v5e: 0.3246 vs 0.3670 s/step @ bs8 accum2 (+13%
+    # throughput; BREAKDOWN.md round-4 train table). Default False at the
+    # raw-config level (full-train stages MUST keep the float base — dW
+    # needs real weights); the LoRA experiment recipes enable it
+    # (core/experiments.py to_train_config).
     base_int8: bool = False
     save_freq: int = 10_000
     save_latest_checkpoint_only: bool = True

@@ -54,6 +54,14 @@ class VLAExperiment:
                                   max_steps=self.max_steps),
             batch_size=self.global_batch_size,
             run_id=self.vla_id,
+            # LoRA recipes freeze the base, so its matmuls run w8a8 int8
+            # (QLoRA-style frozen-base quantization; numerics gated by
+            # tests/test_train_step.py test_base_int8_loss_curve_matches_
+            # float, speed measured at 0.325 vs 0.367 s/step — BREAKDOWN.md
+            # round-4 train table). Full-train stages keep the float base:
+            # there the base weights receive gradients and the STE path
+            # only preserves dx, not dW.
+            base_int8=self.freeze_stage == "lora",
         )
 
 

@@ -5,6 +5,11 @@
         --data.root_dir /data/rlds \
         --train.batch_size 16 --train.optim.learning_rate 5e-4
 
+or by named recipe (reference --vla.type, prismatic/conf/vla.py):
+
+    python -m vla_adapter_tpu.train.finetune \
+        --experiment vla-adapter+libero-spatial --data.root_dir /data/rlds
+
 With ``--data.use_dummy true`` the DummyDataset smoke path runs instead of
 RLDS (the reference documents the same swap, finetune.py:937-946).
 """
@@ -36,6 +41,23 @@ class FinetuneCLIConfig:
     train: TrainConfig = TrainConfig()
     data: DataConfig = DataConfig()
     resume: bool = False
+    # Named recipe from core/experiments.py (reference --vla.type,
+    # prismatic/conf/vla.py:20-319): seeds train+data from the registry
+    # entry; explicit --train.* / --data.* flags still override it.
+    experiment: Optional[str] = None
+
+
+def config_from_experiment(vla_id: str) -> FinetuneCLIConfig:
+    """Seed a CLI config from a registered experiment recipe."""
+    from vla_adapter_tpu.core.experiments import get_experiment
+
+    exp = get_experiment(vla_id)
+    return FinetuneCLIConfig(
+        train=exp.to_train_config(),
+        data=DataConfig(mixture=exp.data_mix, image_aug=exp.image_aug,
+                        shuffle_buffer_size=exp.shuffle_buffer_size),
+        experiment=vla_id,
+    )
 
 
 def build_data_iter(cfg: FinetuneCLIConfig):
@@ -89,6 +111,26 @@ def main(argv=None) -> None:
     from vla_adapter_tpu.train.loop import finetune, get_run_id
 
     cfg = parse_config(FinetuneCLIConfig, argv)
+    if cfg.experiment is not None:
+        # re-parse on top of the recipe so explicit flags win (the first
+        # parse only existed to discover --experiment)
+        cfg = parse_config(FinetuneCLIConfig, argv,
+                           base=config_from_experiment(cfg.experiment))
+        from vla_adapter_tpu.core.experiments import get_experiment
+
+        exp = get_experiment(cfg.experiment)
+        if exp.expected_devices:
+            import jax
+
+            n = jax.device_count()
+            if n != exp.expected_devices:
+                # the reference hard-asserts world size (conf/vla.py
+                # expected_world_size); TPU slice shapes legitimately
+                # differ from the GPU counts the recipes were tuned on,
+                # so warn instead of refusing to run
+                log.warning(
+                    "experiment %s was tuned for %d devices; running on %d",
+                    cfg.experiment, exp.expected_devices, n)
     log.info("run id: %s", get_run_id(cfg.train))
     if cfg.data.use_dummy:
         data_iter, stats = None, None
