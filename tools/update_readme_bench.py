@@ -109,8 +109,14 @@ def render(rec: dict, src: str) -> str:
              f"(MFU-bf16 {r['mfu']:.2f})"))
     if x.get("train_step_s_bs8_lora64") is not None:
         rows.append(
-            ("LoRA train step, batch 8, one chip", "n/a (DDP multi-GPU)",
+            ("LoRA train step, batch 8, one chip (bf16 base)",
+             "n/a (DDP multi-GPU)",
              f"**{fmt_ms(x['train_step_s_bs8_lora64'])}**"))
+    if x.get("train_step_s_bs8_lora64_int8base") is not None:
+        rows.append(
+            ("LoRA train step, batch 8, one chip (int8 frozen base — "
+             "recipe default)", "n/a (DDP multi-GPU)",
+             f"**{fmt_ms(x['train_step_s_bs8_lora64_int8base'])}**"))
     lines = [START,
              f"Generated from `{src}` by `tools/update_readme_bench.py` — "
              "do not edit by hand.", "",

@@ -264,21 +264,35 @@ class Dense(nn.Module):
     rt: Runtime = Runtime()
     kernel_init: Any = nn.initializers.lecun_normal()
 
-    def _stacked_qkernel(self, in_features: int):
+    def _stacked_qkernel(self, in_features: int, pad_in_to=None,
+                         pad_out_to=None):
         """Declare/fetch this Dense's layer-stacked int8 kernel in the
         broadcast "qstack" collection. Only callable from inside
         __call__'s compact context (flax restricts variable creation to
         it); external consumers use ``__call__(x, layer,
         stacked_weights_only=True)``. Returns (kernel_q (L, in, out),
-        kernel_scale (L, out), bias (out,) or None)."""
+        kernel_scale (L, out), bias (out,) or None).
+
+        pad_in_to / pad_out_to declare the STORAGE dims zero-padded up to
+        the given size. TPU tiles s8 arrays (32, 128) over the trailing
+        dims; a lane-unaligned minor dim (so400m's mlp_dim 4304) makes
+        XLA re-lay-out the whole stack on EVERY pallas_call — 0.47 ms of
+        "data formatting" per batch-1 forward in the round-4 device trace.
+        Zero padding is inert: padded columns produce act(0)=0 hidden
+        values and padded down-rows contribute exact zeros (split_qstack
+        zero-fills the pad region when moving real weights in). The bias
+        keeps its true (features,) shape in "params" (checkpoint compat);
+        the fused-MLP wrapper pads it at call time."""
         L = self.rt.stacked_layers
+        k_in = max(in_features, pad_in_to or 0)
+        k_out = max(self.features, pad_out_to or 0)
         kernel_q = self.variable(
             "qstack", "kernel_q",
-            lambda: jnp.zeros((L, in_features, self.features), jnp.int8),
+            lambda: jnp.zeros((L, k_in, k_out), jnp.int8),
         ).value
         kernel_scale = self.variable(
             "qstack", "kernel_scale",
-            lambda: jnp.ones((L, self.features), jnp.float32),
+            lambda: jnp.ones((L, k_out), jnp.float32),
         ).value
         bias = None
         if self.use_bias:
@@ -288,14 +302,15 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, layer=None, *,
-                 stacked_weights_only: bool = False):
+                 stacked_weights_only: bool = False,
+                 pad_in_to=None, pad_out_to=None):
         in_features = x.shape[-1]
         if stacked_weights_only:
             # A fused kernel spanning several Denses (ops/pallas_fused_mlp)
             # consumes the stacked weights directly instead of running the
             # per-Dense matmul; x supplies only the input width.
             assert self.rt.stacked_serving and self.rt.stacked_layers > 0
-            return self._stacked_qkernel(in_features)
+            return self._stacked_qkernel(in_features, pad_in_to, pad_out_to)
         if self.rt.weights_int8:
             kernel_q = self.param(
                 "kernel_q",

@@ -93,9 +93,20 @@ def split_qstack(
                 leaf = param_node.pop(key)
                 expect = tuple(sub.shape)
                 got = tuple(np.shape(leaf))
-                assert got == expect, (
-                    f"stacked kernel {path + (key,)}: shape {got} != "
-                    f"expected {expect}")
+                if got != expect:
+                    # the declared storage may be lane-padded (models/
+                    # layers._stacked_qkernel: s8 stacks whose minor dims
+                    # are not (32, 128)-tile-aligned get re-laid-out by XLA
+                    # on every pallas_call otherwise). Zero padding is
+                    # inert: padded columns yield act(0)=0 and padded down
+                    # rows contribute exact zeros.
+                    assert len(got) == len(expect) and all(
+                        g <= e for g, e in zip(got, expect)), (
+                        f"stacked kernel {path + (key,)}: shape {got} not "
+                        f"embeddable in expected {expect}")
+                    leaf = np.pad(
+                        np.asarray(leaf),
+                        [(0, e - g) for g, e in zip(got, expect)])
                 moved[key] = leaf
         return moved
 

@@ -47,6 +47,13 @@ class Qwen2Attention(nn.Module):
         self.o_proj = Dense(cfg.hidden_size, use_bias=False, rt=rt)
 
     def _qkv(self, x, layer=None):
+        # NOTE (round 4, measured): routing these projections through the
+        # stacked scalar-prefetch Pallas matmul (shared input quantization,
+        # no per-layer kernel slice) LOSES end to end — b1 9.44 vs 8.83 ms,
+        # b2 21.7 vs 15.3 — per-pallas_call overhead plus XLA's lost
+        # bias/RoPE/residual epilogue fusion outweigh the ~0.5 ms/fwd of
+        # slice/re-tile formatting it removes (BREAKDOWN.md round 4).
+        # Attention projections stay on the XLA w8a8 path.
         cfg = self.cfg
         b, s, _ = x.shape
         q = self.q_proj(x, layer).reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -121,11 +128,16 @@ class Qwen2MLP(nn.Module):
                 w8a8_gated_mlp_stacked,
             )
 
-            gq, gs, _ = self.gate_proj(x, layer, stacked_weights_only=True)
-            uq, us, _ = self.up_proj(x, layer, stacked_weights_only=True)
+            # F stored lane-aligned (see layers.py _stacked_qkernel; Qwen2's
+            # 4864 already is — this only pads odd custom geometries)
+            fp = -(-cfg.intermediate_size // 128) * 128
+            gq, gs, _ = self.gate_proj(x, layer, stacked_weights_only=True,
+                                       pad_out_to=fp)
+            uq, us, _ = self.up_proj(x, layer, stacked_weights_only=True,
+                                     pad_out_to=fp)
             dq, dsc, _ = self.down_proj(
                 jnp.zeros((1, cfg.intermediate_size), x.dtype), layer,
-                stacked_weights_only=True)
+                stacked_weights_only=True, pad_in_to=fp)
             lead = x.shape[:-1]
             return w8a8_gated_mlp_stacked(
                 x.reshape(-1, cfg.hidden_size), gq, gs, uq, us, dq, dsc,

@@ -42,6 +42,9 @@ class ViTAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, layer=None):
+        # Attention projections stay on the XLA w8a8 path: the stacked
+        # Pallas matmul variant was measured slower end to end (see
+        # Qwen2Attention._qkv note; BREAKDOWN.md round 4).
         cfg, rt = self.cfg, self.rt
         b, n, _ = x.shape
         h, d = cfg.num_heads, cfg.head_dim
@@ -75,9 +78,14 @@ class ViTMLP(nn.Module):
             # ragged so400m mlp_dim (4304) by masking the padded panel.
             from vla_adapter_tpu.ops.pallas_fused_mlp import w8a8_mlp_stacked
 
-            q1, s1, b1 = fc1(x, layer, stacked_weights_only=True)
+            # store the hidden (F) dim lane-aligned: so400m's 4304 would
+            # otherwise be re-laid-out by XLA on every call (layers.py
+            # _stacked_qkernel)
+            fp = -(-cfg.mlp_dim // 128) * 128
+            q1, s1, b1 = fc1(x, layer, stacked_weights_only=True,
+                             pad_out_to=fp)
             q2, s2, b2 = fc2(jnp.zeros((1, cfg.mlp_dim), x.dtype), layer,
-                             stacked_weights_only=True)
+                             stacked_weights_only=True, pad_in_to=fp)
             lead = x.shape[:-1]
             return w8a8_mlp_stacked(
                 x.reshape(-1, cfg.hidden_size), q1, s1, b1, q2, s2, b2,

@@ -204,6 +204,12 @@ def w8a8_mlp_stacked(
     """
     if fc1_bias is None:
         fc1_bias = jnp.zeros((fc1_q.shape[2],), jnp.float32)
+    elif fc1_bias.shape[-1] < fc1_q.shape[2]:
+        # the stacked kernel storage may be lane-padded (layers.py
+        # _stacked_qkernel) while the bias keeps its true params shape;
+        # zero-pad so padded columns stay act(0 + 0) = 0
+        fc1_bias = jnp.pad(
+            fc1_bias, (0, fc1_q.shape[2] - fc1_bias.shape[-1]))
     if fc2_bias is None:
         fc2_bias = jnp.zeros((fc2_q.shape[2],), jnp.float32)
     return _fused_mlp_call(
