@@ -130,6 +130,65 @@ def test_w8a8_forward():
     assert np.isfinite(fwd["max_abs_action_diff"])
 
 
+def test_fused_qstack_storage_is_lane_padded_at_flagship_geometry():
+    """The fused-serving qstack declares its MLP hidden dim lane-padded
+    (layers._stacked_qkernel): so400m's ragged mlp_dim 4304 would otherwise
+    make XLA re-lay-out the 129 MB stack on EVERY forward (0.47 ms/fwd,
+    BREAKDOWN.md round 4). Shape-only (eval_shape) — no compute."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.core.config import VLAConfig
+
+    cfg = VLAConfig()
+    assert cfg.vision.fused.mlp_dim == 4304  # the ragged case this guards
+    rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                 weights_int8=True, act_int8=True, w8a8_impl="fused")
+    model = VLAModel(cfg, rt)
+    v = cfg.vision
+    batch = 1
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0),
+            input_ids=jnp.zeros((batch, cfg.max_text_tokens), jnp.int32),
+            prompt_len=jnp.full((batch,), 8, jnp.int32),
+            text_valid=jnp.ones((batch, cfg.max_text_tokens), jnp.int32),
+            pixel_values=jnp.zeros(
+                (batch, v.num_images, v.primary.image_size,
+                 v.primary.image_size, v.channels_per_image), jnp.bfloat16),
+            proprio=jnp.zeros((batch, cfg.constants.proprio_dim),
+                              jnp.float32)))
+    flat = {jax.tree_util.keystr(p): s for p, s in
+            jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
+    fc1 = {k: s for k, s in flat.items()
+           if "fc1" in k and "kernel_q" in k and s.shape[1] == 1152}
+    fc2 = {k: s for k, s in flat.items()
+           if "fc2" in k and "kernel_q" in k and s.shape[2] == 1152}
+    assert fc1 and fc2
+    # so400m: F padded 4304 -> 4352 on BOTH sides of the MLP
+    assert all(s.shape[2] == 4352 for s in fc1.values()), fc1
+    assert all(s.shape[1] == 4352 for s in fc2.values()), fc2
+    # every qstack minor dim is a lane multiple (the invariant itself)
+    assert all(s.shape[-1] % 128 == 0 for s in flat.values()), {
+        k: s.shape for k, s in flat.items() if s.shape[-1] % 128}
+    # and split_qstack zero-fills unpadded quantized weights into the
+    # padded layout (tiny synthetic leaf, same rec logic)
+    from vla_adapter_tpu.models.quantize import split_qstack
+
+    class _S:  # minimal ShapeDtypeStruct stand-in for the shapes tree
+        def __init__(self, shape):
+            self.shape = shape
+
+    q = {"m": {"kernel_q": np.ones((2, 8, 5), np.int8),
+               "kernel_scale": np.ones((2, 5), np.float32)}}
+    params, qstack = split_qstack(
+        q, {"m": {"kernel_q": _S((2, 8, 128)),
+                  "kernel_scale": _S((2, 128))}})
+    assert qstack["m"]["kernel_q"].shape == (2, 8, 128)
+    assert (qstack["m"]["kernel_q"][:, :, :5] == 1).all()
+    assert (qstack["m"]["kernel_q"][:, :, 5:] == 0).all()
+    assert "m" not in params
+
+
 def test_w8a8_fused_mlp_backend():
     """The "fused" serving backend (whole-MLP Pallas kernel,
     ops/pallas_fused_mlp.py) matches the XLA w8a8 path, and split_qstack
