@@ -117,8 +117,8 @@ def test_int8_predictor_close_to_fp(predictor):
 
     # "auto" (the default): batch-keyed dispatch — fused at batch 1, XLA
     # above (models/layers.resolve_w8a8_impl) — matching the forced
-    # backends exactly, with both backends sharing the SAME device weight
-    # buffers (the qstack split regroups references, no copy).
+    # backends exactly, with the backends sharing device weight buffers
+    # (the qstack split regroups references; only lane-padded stacks copy).
     pred_auto = Predictor(
         cfg=predictor.cfg, params=predictor.params,
         tokenize=predictor.tokenize, norm_stats=predictor.norm_stats,
@@ -134,13 +134,20 @@ def test_int8_predictor_close_to_fp(predictor):
     a_xla2 = pred_a8.predict_action_batch(
         [imgs, imgs], ["fold the towel"] * 2, [p, p])
     np.testing.assert_array_equal(a_auto2, a_xla2)
-    # shared buffers: a fused-layout MLP leaf is the same device array as
-    # some leaf of the xla-layout params tree
-    q_leaves = {id(l) for l in jax.tree_util.tree_leaves(
-        pred_auto._backends["fused"][1])}
+    # shared buffers: every fused-layout leaf is the same device array as
+    # some leaf of the xla-layout params tree, EXCEPT lane-padded qstack
+    # storage (models/layers._stacked_qkernel pads non-tile-aligned int8
+    # stacks, so split_qstack materializes fresh padded buffers for those;
+    # their numerics are pinned by the array_equal assertions above)
+    fused_tree = pred_auto._backends["fused"][1]
     x_leaves = {id(l) for l in jax.tree_util.tree_leaves(
         pred_auto._backends["xla"][1])}
-    assert q_leaves == x_leaves
+    qstack_ids = {id(l) for l in jax.tree_util.tree_leaves(
+        fused_tree.get("qstack", {}))}
+    unshared = [l for l in jax.tree_util.tree_leaves(fused_tree)
+                if id(l) not in x_leaves]
+    assert all(id(l) in qstack_ids for l in unshared), (
+        "non-qstack fused leaves must share the xla backend's buffers")
 
 
 def test_prequantized_rt_predictor(predictor):

@@ -104,7 +104,10 @@ class Predictor:
         # Weights go to the device ONCE; every backend's variables tree is
         # a re-grouping of references to these buffers (split_qstack moves
         # leaves between dicts without copying), so "auto"'s two compiled
-        # backends cost two executables but zero extra weight HBM.
+        # backends cost two executables but no extra weight HBM — except
+        # lane-padded qstack storage (non-tile-aligned int8 MLP stacks get
+        # fresh padded buffers; ~270 MB at flagship geometry for the two
+        # so400m 4304-dim stacks).
         params_device = jax.device_put(self.params)
         if self.w8a8_impl == "auto":
             impls = ("fused", "xla")

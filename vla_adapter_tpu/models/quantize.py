@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -104,9 +106,13 @@ def split_qstack(
                         g <= e for g, e in zip(got, expect)), (
                         f"stacked kernel {path + (key,)}: shape {got} not "
                         f"embeddable in expected {expect}")
-                    leaf = np.pad(
-                        np.asarray(leaf),
-                        [(0, e - g) for g, e in zip(got, expect)])
+                    pad = [(0, e - g) for g, e in zip(got, expect)]
+                    if isinstance(leaf, jax.Array):
+                        # pad on device — no host round-trip for weights
+                        # that were already device_put
+                        leaf = jnp.pad(leaf, pad)
+                    else:
+                        leaf = np.pad(np.asarray(leaf), pad)
                 moved[key] = leaf
         return moved
 
