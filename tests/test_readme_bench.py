@@ -9,8 +9,11 @@ command: `python tools/update_readme_bench.py`.
 """
 
 import importlib.util
+import json
 import pathlib
 import re
+
+import pytest
 
 ROOT = pathlib.Path(__file__).parent.parent
 
@@ -34,6 +37,31 @@ def test_readme_bench_block_matches_newest_record():
     assert m.group(0) == expected, (
         f"README.md's performance table is stale vs {src} — run "
         "`python tools/update_readme_bench.py` to regenerate it")
+
+
+def test_latest_bench_skips_failed_records(tmp_path, monkeypatch):
+    """VERDICT r4 weak 2: the driver logs a record even when bench.py fails
+    (BENCH_r04: rc=124, parsed null); latest_bench must fall back to the
+    newest PARSEABLE record instead of crashing render with a TypeError."""
+    mod = _load_tool()
+    good = {"n": 3, "rc": 0,
+            "parsed": {"value": 128.81, "extra": {"bf16_sweep": []}}}
+    bad = {"n": 4, "rc": 124, "tail": "WARNING: ...", "parsed": None}
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(good))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(bad))
+    monkeypatch.setattr(mod, "ROOT", str(tmp_path))
+    rec, src = mod.latest_bench()
+    assert src == "BENCH_r03.json"
+    assert rec["parsed"]["value"] == 128.81
+
+
+def test_latest_bench_all_failed_raises(tmp_path, monkeypatch):
+    mod = _load_tool()
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"rc": 124, "parsed": None}))
+    monkeypatch.setattr(mod, "ROOT", str(tmp_path))
+    with pytest.raises(SystemExit):
+        mod.latest_bench()
 
 
 def test_render_new_schema_headline_prefers_auto_row():

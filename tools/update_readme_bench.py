@@ -20,13 +20,29 @@ START = "<!-- BENCH_TABLE_START -->"
 END = "<!-- BENCH_TABLE_END -->"
 
 
+def usable(rec: dict) -> bool:
+    """True when a bench record carries renderable numbers.
+
+    The driver logs a record even when bench.py fails (BENCH_r04: rc=124,
+    "parsed": null) — those must not crash the renderer; fall back to the
+    newest record whose parsed payload has a value. rc is deliberately NOT
+    checked: a budget-truncated bench (bench.py BENCH_BUDGET_S) still
+    prints a full JSON line with whatever phases completed."""
+    parsed = rec.get("parsed")
+    return (isinstance(parsed, dict) and parsed.get("value") is not None
+            and isinstance(parsed.get("extra"), dict))
+
+
 def latest_bench() -> dict:
     paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     if not paths:
         raise SystemExit("no BENCH_r*.json found")
-    with open(paths[-1]) as f:
-        rec = json.load(f)
-    return rec, os.path.basename(paths[-1])
+    for path in reversed(paths):
+        with open(path) as f:
+            rec = json.load(f)
+        if usable(rec):
+            return rec, os.path.basename(path)
+    raise SystemExit("no parseable BENCH_r*.json found (all records failed)")
 
 
 def fmt_ms(s: float) -> str:
