@@ -4,8 +4,28 @@ Prints ONE JSON line. Headline metric: action-chunks per second per chip at
 the best batch size (the north star is throughput per chip — BASELINE.md).
 vs_baseline = ours / reference, where the reference is 27.8 chunks/s on H100
 (0.036 s per 8-action chunk, reference README.md:551). Extra keys carry the
-batch sweep, batch-1 latency, analytic-FLOPs MFU, the int8 serving row, and
-the train-step time.
+batch sweep, batch-1 latency, analytic-FLOPs MFU, the int8 serving rows, and
+the train-step times.
+
+Budget-aware orchestration (VERDICT r4 item 1): BENCH_r04 timed out at the
+driver (rc=124) because ~14 compile-heavy phases ran strictly sequentially
+with the JSON line printed only after ALL of them — a cold compile cache
+(the round-4 lane-padding commit changed the HLO) turned the run into hours
+and the timeout lost even the phases that HAD completed. This version:
+  * runs each phase in its OWN subprocess (``python bench.py --phase KEY``)
+    under a per-phase timeout, so one wedged/cold compile is killed and the
+    run moves on (an in-process deadline cannot preempt a blocked XLA
+    compile — signals are only delivered between Python bytecodes);
+  * orders phases headline-first (the shipped auto-backend serving rows,
+    then the two train rows, then research/comparability rows), so
+    truncation costs the least important numbers first;
+  * keeps a global wall-clock budget (env ``BENCH_BUDGET_S``, default 1500)
+    checked between phases, and ALWAYS emits the final JSON line with
+    whatever completed plus an ``extra.phases`` status log;
+  * traps SIGTERM/SIGINT (what ``timeout`` sends) to kill the live child
+    and emit the partial record before dying.
+Subprocess isolation also replaces the old per-phase gc/clear_caches dance:
+each phase gets a fresh 16 GB HBM and the disk compile cache is shared.
 
 Methodology (see .claude/skills/verify/SKILL.md): the TPU here sits behind a
 tunnel with ~30 ms per-dispatch RTT and the relay memoizes identical
@@ -28,21 +48,31 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax import lax
-
-# Persistent compile cache: flagship compiles cost minutes through the
-# tunnel; cache them across bench runs (keyed on HLO — config changes miss).
-jax.config.update("jax_compilation_cache_dir", "/tmp/vla_adapter_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
 REF_CHUNKS_PER_S = 1.0 / 0.036  # reference H100, batch 1 (README.md:551)
 V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _jax_setup():
+    """Import jax lazily: the orchestrator parent must never touch the
+    device backend (a wedged tunnel would hang it before it can emit the
+    record); only phase children and the bounded reachability probe do."""
+    import jax
+
+    # Persistent compile cache: flagship compiles cost minutes through the
+    # tunnel; cache them across bench runs (keyed on HLO — config changes
+    # miss). Shared by every phase subprocess.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vla_adapter_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return jax
 
 
 # ---------------------------------------------------------------------------
@@ -105,11 +135,14 @@ def flops_per_chunk(cfg) -> float:
 
 
 # ---------------------------------------------------------------------------
-# Timing helpers
+# Timing helpers (run inside phase subprocesses)
 # ---------------------------------------------------------------------------
 
 
 def zeros_like_shapes(shapes):
+    import jax
+    import jax.numpy as jnp
+
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
@@ -125,6 +158,9 @@ def timed_calls(fn, args_sets, warm_args):
 
 
 def measure_dispatch_overhead(iters=24):
+    import jax
+    import jax.numpy as jnp
+
     ctrl = jax.jit(lambda x: (x * 2.0 + 1.0).sum())
     xs = [jnp.asarray(np.random.default_rng(i).normal(size=(8,)), jnp.float32)
           for i in range(iters)]
@@ -133,6 +169,10 @@ def measure_dispatch_overhead(iters=24):
 
 def bench_forward(model, cfg, batch, k_chain, iters, overhead, int8=False):
     """Per-forward seconds at the given batch size via a K-forward scan."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     rng = np.random.default_rng(0 if not int8 else 1)
     t_text = cfg.max_text_tokens
     num_q = cfg.constants.num_action_query_tokens
@@ -188,6 +228,9 @@ def bench_train_step(overhead, base_int8=False):
     (core/experiments.py): the frozen base's matmuls run w8a8 int8 with an
     STE dx-backward. base_int8=False is the bf16-base row, kept for
     cross-round comparability with BENCH_r01–r03."""
+    import jax
+    import jax.numpy as jnp
+
     from vla_adapter_tpu.core.config import TrainConfig
     from vla_adapter_tpu.data.dummy import make_dummy_batch
     from vla_adapter_tpu.models.vla import VLAModel
@@ -261,186 +304,334 @@ def bench_train_step(overhead, base_int8=False):
 
 
 # ---------------------------------------------------------------------------
+# Phase registry — PRIORITY ORDER. Truncation drops the tail first:
+# the shipped auto-backend headline rows lead, then the two train rows,
+# then dispatch-crossover checks, then legacy-comparability research rows.
+# est_s: minimum remaining budget to even start the phase (warm-cache cost
+# incl. ~40 s interpreter/tunnel startup — measured r5, BREAKDOWN.md).
+# ---------------------------------------------------------------------------
 
+SERVE_PHASES = {
+    # key: (batch, mode kwargs)
+    "w8a8_fused_b1": dict(batch=1, act_int8=True, w8a8_impl="fused"),
+    "w8a8_b2": dict(batch=2, act_int8=True, w8a8_impl="xla"),
+    "w8a8_b1": dict(batch=1, act_int8=True, w8a8_impl="xla"),
+    "w8a8_fused_b2": dict(batch=2, act_int8=True, w8a8_impl="fused"),
+    "bf16_b1": dict(batch=1),
+    "bf16_b16": dict(batch=16),
+    "int8_b16": dict(batch=16, int8=True),
+    "w8a8_b16": dict(batch=16, act_int8=True, w8a8_impl="xla"),
+    "w8a8_fused_b4": dict(batch=4, act_int8=True, w8a8_impl="fused"),
+}
 
-def check_device_reachable(timeout_s: float = 600.0) -> None:
-    """Fail fast (JSON error line) when the device tunnel is wedged.
+# (phase key, entry-floor seconds). Order = priority.
+PHASE_ORDER = [
+    ("w8a8_fused_b1", 120),   # auto backend @ b1 (shipped default, latency)
+    ("w8a8_b2", 120),         # auto backend @ b2 (per-chip throughput peak)
+    ("train_int8", 240),      # shipped LoRA-recipe default (int8 base)
+    ("train_bf16", 240),      # bf16-base row (r01–r03 comparability)
+    ("w8a8_b1", 120),         # crossover check: xla at b1
+    ("w8a8_fused_b2", 120),   # crossover check: fused at b2
+    ("bf16_b1", 120),         # bf16 latency row
+    ("bf16_b16", 150),        # bf16 throughput row
+    ("int8_b16", 150),        # weight-only int8 row
+    ("w8a8_b16", 150),        # w8a8 large-batch row
+    ("w8a8_fused_b4", 120),   # crossover confirm: fused loses at b4
+]
 
-    jax.devices() against an unreachable tunnel blocks indefinitely with no
-    interruptible handle; probing it in a killable subprocess converts an
-    infinite hang into a bounded, machine-readable failure. Observed: the
-    axon relay went unreachable for hours mid-round; a plain bench run
-    would have sat in backend init the whole time."""
-    import subprocess
-    import sys
+# extra-dict key each serving phase's row lands under (bf16 rows are
+# assembled into the legacy bf16_sweep list separately).
+SERVE_EXTRA_KEY = {
+    "w8a8_fused_b1": "w8a8_batch1_fused_mlp",
+    "w8a8_b2": "w8a8_batch2",
+    "w8a8_b1": "w8a8_batch1",
+    "w8a8_fused_b2": "w8a8_batch2_fused_mlp",
+    "int8_b16": "int8",
+    "w8a8_b16": "w8a8",
+    "w8a8_fused_b4": "w8a8_batch4_fused_mlp",
+}
+def run_phase(key: str) -> dict:
+    """Execute ONE phase on the device; return its JSON fragment."""
+    _jax_setup()
+    overhead = measure_dispatch_overhead()
+    if key.startswith("train_"):
+        s = bench_train_step(overhead, base_int8=(key == "train_int8"))
+        return {"phase": key, "train_s": round(s, 4), "overhead": overhead}
 
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        if out.returncode == 0 and "ok" in out.stdout:
-            return
-        detail = (out.stderr or out.stdout)[-300:]
-    except subprocess.TimeoutExpired:
-        detail = f"device backend init exceeded {timeout_s:.0f}s (tunnel down?)"
-    print(json.dumps({
-        "metric": "predict_chunks_per_s_per_chip",
-        "value": None,
-        "unit": "UNMEASURED: device unreachable",
-        "vs_baseline": None,
-        "error": detail,
-    }))
-    raise SystemExit(1)
+    import jax.numpy as jnp
 
-
-def main():
     from vla_adapter_tpu.core.config import VLAConfig
     from vla_adapter_tpu.models.layers import Runtime
     from vla_adapter_tpu.models.vla import VLAModel
 
+    spec = dict(SERVE_PHASES[key])
+    batch = spec.pop("batch")
+    int8 = spec.pop("int8", False)
+    act_int8 = spec.pop("act_int8", False)
+    impl = spec.pop("w8a8_impl", "xla")
     cfg = VLAConfig()
     fl = flops_per_chunk(cfg)
+    rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                 attn_impl="auto", weights_int8=int8 or act_int8,
+                 act_int8=act_int8, w8a8_impl=impl)
+    model = VLAModel(cfg, rt)
+    per_fwd = bench_forward(model, cfg, batch, k_chain=12, iters=8,
+                            overhead=overhead, int8=int8 or act_int8)
+    chunks_per_s = batch / per_fwd
+    row = {
+        "batch": batch,
+        "s_per_forward": round(per_fwd, 6),
+        "chunks_per_s": round(chunks_per_s, 2),
+        "actions_per_s": round(chunks_per_s * cfg.constants.num_actions_chunk, 1),
+        "mfu": round(chunks_per_s * fl / V5E_BF16_PEAK_FLOPS, 4),
+    }
+    if act_int8:
+        row["mode"] = "w8a8+fused_mlp" if impl == "fused" else "w8a8"
+    return {"phase": key, "row": row, "overhead": overhead,
+            "flops_per_chunk_tf": round(fl / 1e12, 4)}
 
-    check_device_reachable()
-    overhead = measure_dispatch_overhead()
 
-    def run(batch, k_chain, iters, int8=False, act_int8=False,
-            w8a8_impl="xla"):
-        rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                     attn_impl="auto", weights_int8=int8 or act_int8,
-                     act_int8=act_int8, w8a8_impl=w8a8_impl)
-        model = VLAModel(cfg, rt)
-        per_fwd = bench_forward(model, cfg, batch, k_chain, iters, overhead,
-                                int8=int8 or act_int8)
-        # free this phase's params/compiled executables before the next one
-        # (2.8 GB of bf16 weights per phase; v5e has 16 GB HBM)
-        import gc
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
 
-        gc.collect()
-        jax.clear_caches()
-        chunks_per_s = batch / per_fwd
-        return {
-            "batch": batch,
-            "s_per_forward": round(per_fwd, 6),
-            "chunks_per_s": round(chunks_per_s, 2),
-            "actions_per_s": round(chunks_per_s * cfg.constants.num_actions_chunk, 1),
-            "mfu": round(chunks_per_s * fl / V5E_BF16_PEAK_FLOPS, 4),
-        }
 
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "1,16").split(",")]
-    sweep = [run(b, k_chain=12, iters=8) for b in batches]
-    int8_row = run(max(batches), k_chain=12, iters=8, int8=True)
-    # W8A8: dynamic per-token activation quant + int8 MXU matmuls (2x bf16
-    # peak). MFU is still reported against the bf16 peak for comparability.
-    # Measured at batch 1 AND the largest batch: batch-1 w8a8 is both the
-    # best latency and (per-chip) the best throughput — weight streaming
-    # dominates batch 1 and int8 halves it, while attention/softmax scale
-    # linearly with batch so batching buys little once weights are 1 byte.
-    w8a8_row = run(max(batches), k_chain=12, iters=8, act_int8=True)
-    w8a8_row["mode"] = "w8a8"
-    w8a8_b1 = run(1, k_chain=12, iters=8, act_int8=True)
-    w8a8_b1["mode"] = "w8a8"
-    # Batch 2: the measured per-chip throughput peak (round-3 sweep:
-    # b1 106.8 / b2 110.1 / b4 108.8 / b8 110.8 / b16 104.5 chunks/s) —
-    # weight streaming amortizes over two chunks while attention cost is
-    # still batch-1-like.
-    w8a8_b2 = run(2, k_chain=12, iters=8, act_int8=True)
-    w8a8_b2["mode"] = "w8a8"
-    rows = sweep + [int8_row, w8a8_row, w8a8_b1, w8a8_b2]
-    # Whole-MLP fused kernel (ops/pallas_fused_mlp.py): every transformer
-    # MLP runs as ONE Pallas kernel so its (M, F) wide intermediates stay
-    # in VMEM — the only hand backend measured faster than XLA end to end
-    # (BREAKDOWN.md). b1 (where it wins / the auto default), b2 (the XLA
-    # per-chip peak batch) and b4 (confirming the crossover stays at 2).
-    # Each batch guarded separately so one failing run cannot misattribute
-    # its error to the others' keys.
-    fused = {}
-    for b in (1, 2, 4):
+def check_device_reachable(timeout_s: float) -> str | None:
+    """Bounded probe: jax.devices() against a wedged tunnel blocks forever
+    with no interruptible handle; probing in a killable subprocess converts
+    an infinite hang into a bounded, machine-readable failure. Observed:
+    the axon relay went unreachable for hours mid-round; a plain bench run
+    would have sat in backend init the whole time. Returns an error string,
+    or None when the device answered."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s, cwd=ROOT,
+        )
+        if out.returncode == 0 and "ok" in out.stdout:
+            return None
+        return (out.stderr or out.stdout)[-300:]
+    except subprocess.TimeoutExpired:
+        return f"device backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+
+
+class _Terminated(Exception):
+    pass
+
+
+_current_child: subprocess.Popen | None = None
+
+
+def _on_term(signum, frame):
+    raise _Terminated(signal.Signals(signum).name)
+
+
+def _run_child(key: str, timeout_s: float) -> tuple[dict | None, str]:
+    """Run one phase subprocess; return (fragment, status)."""
+    global _current_child
+    cmd = [sys.executable, "-u", os.path.abspath(__file__), "--phase", key]
+    try:
+        _current_child = subprocess.Popen(
+            cmd, cwd=ROOT, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        out, err = _current_child.communicate(timeout=timeout_s)
+        rc = _current_child.returncode
+    except subprocess.TimeoutExpired:
+        _current_child.kill()
+        _current_child.communicate()
+        return None, f"timeout after {timeout_s:.0f}s"
+    except _Terminated:
+        if _current_child is not None:
+            _current_child.kill()
+            _current_child.communicate()
+        raise
+    finally:
+        _current_child = None
+    for line in reversed(out.strip().splitlines()):
         try:
-            r = run(b, k_chain=12, iters=8, act_int8=True, w8a8_impl="fused")
-            r["mode"] = "w8a8+fused_mlp"
-            rows.append(r)
-            fused[b] = r
-        except Exception as e:  # pragma: no cover - depends on chip toolchain
-            fused[b] = {"error": repr(e)[:200]}
-    # The SHIPPED default is the batch-keyed "auto" backend
-    # (models/layers.resolve_w8a8_impl: fused at batch <=
-    # W8A8_FUSED_MAX_BATCH, XLA above). Its rows are the measured rows of
-    # whichever backend it dispatches to at that batch — the headline is
-    # the best of THOSE, so the record always reflects what a user of the
-    # defaults gets.
+            frag = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(frag, dict) and frag.get("phase") == key:
+            return frag, "done"
+    tail = (err or out or "")[-300:]
+    return None, f"rc={rc}: {tail}"
+
+
+def assemble_record(frags: dict[str, dict], phase_log: list[dict],
+                    budget_s: float, elapsed_s: float,
+                    flops_tf: float | None = None,
+                    probe_error: str | None = None) -> dict:
+    """Build the final JSON record from whatever phases completed.
+
+    Pure function (no device access) so tests can drive it with synthetic
+    fragments — full set, truncated set, empty set (tests/test_bench_budget
+    .py). The headline is the best chunks/s among the rows the SHIPPED
+    batch-keyed auto backend dispatches to (models/layers.resolve_w8a8_impl
+    — fused at b<=W8A8_FUSED_MAX_BATCH, XLA above), falling back to the
+    best row of any mode if no auto row completed."""
     from vla_adapter_tpu.models.layers import resolve_w8a8_impl
 
-    xla_by_batch = {r["batch"]: r for r in (w8a8_b1, w8a8_b2, w8a8_row)}
+    rows_by_phase = {k: f["row"] for k, f in frags.items() if "row" in f}
+    extra: dict = {}
+    if flops_tf is None:
+        for f in frags.values():
+            if "flops_per_chunk_tf" in f:
+                flops_tf = f["flops_per_chunk_tf"]
+                break
+    extra["flops_per_chunk_tf"] = flops_tf
+
+    bf16_sweep = [rows_by_phase[k] for k in ("bf16_b1", "bf16_b16")
+                  if k in rows_by_phase]
+    if bf16_sweep:
+        extra["bf16_sweep"] = bf16_sweep
+    for phase, key in SERVE_EXTRA_KEY.items():
+        if phase in rows_by_phase:
+            extra[key] = rows_by_phase[phase]
+
+    # The shipped default is the batch-keyed "auto" backend: its rows are
+    # the measured rows of whichever backend it dispatches to at that
+    # batch — the headline is the best of THOSE, so the record reflects
+    # what a user of the defaults gets.
+    by_impl_batch = {}
+    for phase, row in rows_by_phase.items():
+        if phase.startswith("w8a8_fused_"):
+            by_impl_batch[("fused", row["batch"])] = row
+        elif phase.startswith("w8a8_"):
+            by_impl_batch[("xla", row["batch"])] = row
     auto_rows = {}
-    for b in sorted(set(xla_by_batch) | set(fused)):
-        impl = resolve_w8a8_impl("auto", b)
-        src = fused.get(b) if impl == "fused" else xla_by_batch.get(b)
-        if src and "chunks_per_s" in src:
-            auto_rows[b] = dict(src, mode=f"w8a8+auto({impl})")
-    best = max(auto_rows.values(), key=lambda r: r["chunks_per_s"])
+    for impl, b in sorted(by_impl_batch, key=lambda t: t[1]):
+        if resolve_w8a8_impl("auto", b) == impl:
+            auto_rows[b] = dict(by_impl_batch[(impl, b)],
+                                mode=f"w8a8+auto({impl})")
+    if auto_rows:
+        extra["serving_auto"] = {str(b): r for b, r in auto_rows.items()}
+
+    all_rows = list(rows_by_phase.values())
+    best = (max(auto_rows.values(), key=lambda r: r["chunks_per_s"])
+            if auto_rows else
+            max(all_rows, key=lambda r: r["chunks_per_s"], default=None))
     # If some non-default row beats the auto dispatch, surface it in the
     # record (a crossover drift to investigate) — never crash the bench.
-    fastest_any = max(rows, key=lambda r: r["chunks_per_s"])
     dispatch_note = None
-    if fastest_any["chunks_per_s"] > best["chunks_per_s"] * 1.02:
-        dispatch_note = (
-            f"auto dispatch leaves {fastest_any['chunks_per_s']:.1f} "
-            f"chunks/s on the table (batch {fastest_any['batch']}, "
-            f"{fastest_any.get('mode', 'bf16')}) — re-place "
-            "models/layers.W8A8_FUSED_MAX_BATCH")
+    if auto_rows and all_rows:
+        fastest_any = max(all_rows, key=lambda r: r["chunks_per_s"])
+        if fastest_any["chunks_per_s"] > best["chunks_per_s"] * 1.02:
+            dispatch_note = (
+                f"auto dispatch leaves {fastest_any['chunks_per_s']:.1f} "
+                f"chunks/s on the table (batch {fastest_any['batch']}, "
+                f"{fastest_any.get('mode', 'bf16')}) — re-place "
+                "models/layers.W8A8_FUSED_MAX_BATCH")
 
-    train_step_s = None
-    train_step_int8_s = None
-    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
-        train_step_s = bench_train_step(overhead)
-        import gc
+    if "bf16_b1" in rows_by_phase:
+        extra["latency_s_batch1"] = rows_by_phase["bf16_b1"]["s_per_forward"]
+    b1_rows = [r for r in all_rows if r["batch"] == 1]
+    best_b1 = auto_rows.get(1) or (
+        min(b1_rows, key=lambda r: r["s_per_forward"]) if b1_rows else None)
+    if best_b1:
+        extra["latency_s_batch1_default"] = best_b1["s_per_forward"]
 
-        gc.collect()
-        jax.clear_caches()
-        # the shipped LoRA-recipe default (int8 frozen base,
-        # core/experiments.py; numerics gate in test_train_step)
-        train_step_int8_s = bench_train_step(overhead, base_int8=True)
+    for phase, key in (("train_bf16", "train_step_s_bs8_lora64"),
+                       ("train_int8", "train_step_s_bs8_lora64_int8base")):
+        if phase in frags and "train_s" in frags[phase]:
+            extra[key] = frags[phase]["train_s"]
 
-    latency_row = next((r for r in sweep if r["batch"] == 1), sweep[0])
-    # the default serving stack's batch-1 latency (auto -> fused at b1)
-    b1_rows = [r for r in rows if r["batch"] == 1]
-    best_b1 = auto_rows.get(1, min(b1_rows, key=lambda r: r["s_per_forward"]))
-    print(json.dumps({
+    overheads = [f["overhead"] for f in frags.values() if "overhead" in f]
+    if overheads:
+        extra["dispatch_overhead_s"] = round(float(np.median(overheads)), 4)
+    extra["baseline_chunks_per_s_h100"] = round(REF_CHUNKS_PER_S, 2)
+    extra["dispatch_note"] = dispatch_note
+    skipped = [p for p in phase_log if p["status"] != "done"]
+    if skipped or probe_error:
+        extra["skipped"] = skipped
+    extra["phases"] = phase_log
+    extra["budget"] = {"budget_s": budget_s, "elapsed_s": round(elapsed_s, 1)}
+
+    if best is None:
+        return {
+            "metric": "predict_chunks_per_s_per_chip",
+            "value": None,
+            "unit": ("UNMEASURED: no serving phase completed within the "
+                     "budget" + (f"; device probe: {probe_error}"
+                                 if probe_error else "")),
+            "vs_baseline": None,
+            "extra": extra,
+        }
+    oh = extra.get("dispatch_overhead_s")
+    unit = (f"8-action chunks/s on one v5e chip (batch {best['batch']}, "
+            f"{best.get('mode', 'bf16')}, mfu {best['mfu']:.2f}")
+    if best_b1:
+        unit += (f"; batch-1 latency {best_b1['s_per_forward']*1e3:.1f} "
+                 f"ms/chunk ({best_b1.get('mode', 'bf16')})")
+    if oh is not None:
+        unit += f"; dispatch overhead {oh*1e3:.1f} ms subtracted"
+    if skipped:
+        unit += f"; {len(skipped)} phase(s) skipped — see extra.skipped"
+    unit += ")"
+    return {
         "metric": "predict_chunks_per_s_per_chip",
         "value": best["chunks_per_s"],
-        "unit": (
-            f"8-action chunks/s on one v5e chip (batch {best['batch']}, "
-            f"{best['mode']}, mfu {best['mfu']:.2f}; "
-            f"batch-1 latency {best_b1['s_per_forward']*1e3:.1f} ms/chunk "
-            f"({best_b1['mode']}); "
-            f"dispatch overhead {overhead*1e3:.1f} ms subtracted)"
-        ),
+        "unit": unit,
         "vs_baseline": round(best["chunks_per_s"] / REF_CHUNKS_PER_S, 3),
-        "extra": {
-            "flops_per_chunk_tf": round(fl / 1e12, 4),
-            "bf16_sweep": sweep,
-            "int8": int8_row,
-            "w8a8": w8a8_row,
-            "w8a8_batch1": w8a8_b1,
-            "w8a8_batch2": w8a8_b2,
-            "w8a8_batch1_fused_mlp": fused[1],
-            "w8a8_batch2_fused_mlp": fused[2],
-            "w8a8_batch4_fused_mlp": fused[4],
-            "serving_auto": {str(b): r for b, r in auto_rows.items()},
-            "latency_s_batch1": latency_row["s_per_forward"],
-            "latency_s_batch1_default": best_b1["s_per_forward"],
-            "train_step_s_bs8_lora64": (
-                round(train_step_s, 4) if train_step_s else None),
-            "train_step_s_bs8_lora64_int8base": (
-                round(train_step_int8_s, 4) if train_step_int8_s else None),
-            "dispatch_overhead_s": round(overhead, 4),
-            "baseline_chunks_per_s_h100": round(REF_CHUNKS_PER_S, 2),
-            "dispatch_note": dispatch_note,
-        },
-    }))
+        "extra": extra,
+    }
+
+
+def main():
+    t0 = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    phase_cap_s = float(os.environ.get("BENCH_PHASE_CAP_S", "900"))
+    reserve_s = 20.0  # kept back for final assembly + emit
+    skip_train = os.environ.get("BENCH_SKIP_TRAIN", "0") == "1"
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    frags: dict[str, dict] = {}
+    phase_log: list[dict] = []
+    probe_error = None
+    try:
+        probe_error = check_device_reachable(
+            timeout_s=min(600.0, max(60.0, budget_s / 3)))
+        if probe_error is None:
+            for key, est_s in PHASE_ORDER:
+                remaining = budget_s - (time.time() - t0) - reserve_s
+                if skip_train and key.startswith("train_"):
+                    phase_log.append({"phase": key, "status": "skipped",
+                                      "reason": "BENCH_SKIP_TRAIN=1"})
+                    continue
+                if remaining < est_s:
+                    phase_log.append({
+                        "phase": key, "status": "skipped",
+                        "reason": (f"budget: {remaining:.0f}s left < "
+                                   f"{est_s}s entry floor")})
+                    continue
+                t_p = time.time()
+                frag, status = _run_child(
+                    key, timeout_s=min(phase_cap_s, remaining))
+                entry = {"phase": key, "status":
+                         "done" if frag else
+                         ("timeout" if status.startswith("timeout")
+                          else "error"),
+                         "wall_s": round(time.time() - t_p, 1)}
+                if frag is None:
+                    entry["reason"] = status
+                else:
+                    frags[key] = frag
+                phase_log.append(entry)
+    except _Terminated as e:
+        phase_log.append({"phase": "(orchestrator)", "status": "error",
+                          "reason": f"terminated by {e} — partial "
+                                    "record emitted"})
+    rec = assemble_record(frags, phase_log, budget_s, time.time() - t0,
+                          probe_error=probe_error)
+    print(json.dumps(rec))
+    if rec["value"] is None:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        print(json.dumps(run_phase(sys.argv[2])))
+    else:
+        main()

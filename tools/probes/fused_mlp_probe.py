@@ -26,7 +26,8 @@ def main():
 
     batches = [int(b) for b in sys.argv[1:]] or [1, 2]
     cfg = VLAConfig()
-    bench.check_device_reachable()
+    err = bench.check_device_reachable(timeout_s=600.0)
+    assert err is None, err
     overhead = bench.measure_dispatch_overhead()
     print(f"dispatch overhead {overhead*1e3:.1f} ms", flush=True)
 
