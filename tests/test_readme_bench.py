@@ -26,16 +26,18 @@ def _load_tool():
     return mod
 
 
-def test_readme_bench_block_matches_newest_record():
+@pytest.mark.parametrize("name", ["README.md", "BASELINE.md"])
+def test_readme_bench_block_matches_newest_record(name):
     mod = _load_tool()
+    assert name in mod.TARGET_FILES
     rec, src = mod.latest_bench()
     expected = mod.render(rec, src)
-    text = (ROOT / "README.md").read_text()
+    text = (ROOT / name).read_text()
     m = re.search(re.escape(mod.START) + ".*?" + re.escape(mod.END), text,
                   re.S)
-    assert m, "README.md lost its BENCH_TABLE markers"
+    assert m, f"{name} lost its BENCH_TABLE markers"
     assert m.group(0) == expected, (
-        f"README.md's performance table is stale vs {src} — run "
+        f"{name}'s performance table is stale vs {src} — run "
         "`python tools/update_readme_bench.py` to regenerate it")
 
 

@@ -1,9 +1,11 @@
-"""Regenerate README.md's performance table from the newest BENCH_r*.json.
+"""Regenerate the performance tables from the newest BENCH_r*.json.
 
 One source of truth: the driver's bench record. Hand-transcribing numbers
-into the README drifts (round 2 shipped "850 actions/s" against a measured
-872.6); this script rewrites everything between the BENCH_TABLE markers
-from the JSON instead. Run after every bench round:
+drifts (round 2's README shipped "850 actions/s" against a measured 872.6;
+round 4's BASELINE.md still quoted BENCH_r02 two rounds later); this script
+rewrites everything between the BENCH_TABLE markers in EVERY target file
+(README.md and BASELINE.md) from the JSON instead. Run after every bench
+round:
 
     python tools/update_readme_bench.py
 """
@@ -51,8 +53,14 @@ def fmt_ms(s: float) -> str:
 
 def render(rec: dict, src: str) -> str:
     x = rec["parsed"]["extra"]
-    b1, bmax = x["bf16_sweep"][0], x["bf16_sweep"][-1]
-    w8_b1, w8_bmax, i8 = x["w8a8_batch1"], x["w8a8"], x["int8"]
+    # Every row is optional: a budget-truncated bench (bench.py
+    # BENCH_BUDGET_S, round 5) emits the record with whatever phases
+    # completed — the renderer must show those rows and silently drop the
+    # rest, never KeyError on a partial record.
+    sweep = x.get("bf16_sweep") or []
+    b1 = sweep[0] if sweep else None
+    bmax = sweep[-1] if len(sweep) >= 2 else None
+    w8_b1, w8_bmax, i8 = (x.get("w8a8_batch1"), x.get("w8a8"), x.get("int8"))
     # serving_auto (round 4+): the shipped batch-keyed default backend —
     # its rows lead the headline search so the README quotes what a user
     # of the defaults gets.
@@ -70,8 +78,8 @@ def render(rec: dict, src: str) -> str:
     # The headline is whatever the driver recorded as the top-level value —
     # find that row so the README never disagrees with the record (auto
     # rows first: on value ties the shipped default wins the label). Keep
-    # this list in sync with bench.py's `rows`.
-    candidates = [*auto, w8_b1, w8_bmax, i8, *x["bf16_sweep"], *opt]
+    # this list in sync with bench.py's phase rows.
+    candidates = [r for r in (*auto, w8_b1, w8_bmax, i8, *sweep, *opt) if r]
     head = next((r for r in candidates
                  if r["chunks_per_s"] == rec["parsed"]["value"]), None)
     assert head is not None, (
@@ -94,22 +102,33 @@ def render(rec: dict, src: str) -> str:
             ("chunk latency, batch 1, shipped default (w8a8 auto)", "36 ms",
              f"**{fmt_ms(x['latency_s_batch1_default'])}** "
              f"({0.036 / x['latency_s_batch1_default']:.1f}x)"))
-    rows += [
-        ("chunk latency, batch 1, bf16", "36 ms",
-         f"**{fmt_ms(x['latency_s_batch1'])}** "
-         f"({0.036 / x['latency_s_batch1']:.1f}x)"),
-        (f"chunk throughput, batch {b1['batch']}, bf16", f"{ref:.1f} chunks/s",
-         f"**{b1['chunks_per_s']:.1f} chunks/s** (MFU {b1['mfu']:.2f})"),
-        (f"chunk throughput, batch {bmax['batch']}, bf16",
-         "unsupported (batch-1 only)",
-         f"**{bmax['chunks_per_s']:.1f} chunks/s** (MFU {bmax['mfu']:.2f})"),
-        (f"chunk throughput, batch {i8['batch']}, int8 weights", "unsupported",
-         f"**{i8['chunks_per_s']:.1f} chunks/s** (MFU {i8['mfu']:.2f})"),
-        (f"chunk throughput, batch {w8_bmax['batch']}, w8a8 (int8 MXU)",
-         "unsupported",
-         f"**{w8_bmax['chunks_per_s']:.1f} chunks/s** "
-         f"(MFU-bf16 {w8_bmax['mfu']:.2f})"),
-    ]
+    if x.get("latency_s_batch1") is not None:
+        rows.append(
+            ("chunk latency, batch 1, bf16", "36 ms",
+             f"**{fmt_ms(x['latency_s_batch1'])}** "
+             f"({0.036 / x['latency_s_batch1']:.1f}x)"))
+    if b1 is not None:
+        rows.append(
+            (f"chunk throughput, batch {b1['batch']}, bf16",
+             f"{ref:.1f} chunks/s",
+             f"**{b1['chunks_per_s']:.1f} chunks/s** (MFU {b1['mfu']:.2f})"))
+    if bmax is not None:
+        rows.append(
+            (f"chunk throughput, batch {bmax['batch']}, bf16",
+             "unsupported (batch-1 only)",
+             f"**{bmax['chunks_per_s']:.1f} chunks/s** "
+             f"(MFU {bmax['mfu']:.2f})"))
+    if i8 is not None:
+        rows.append(
+            (f"chunk throughput, batch {i8['batch']}, int8 weights",
+             "unsupported",
+             f"**{i8['chunks_per_s']:.1f} chunks/s** (MFU {i8['mfu']:.2f})"))
+    if w8_bmax is not None:
+        rows.append(
+            (f"chunk throughput, batch {w8_bmax['batch']}, w8a8 (int8 MXU)",
+             "unsupported",
+             f"**{w8_bmax['chunks_per_s']:.1f} chunks/s** "
+             f"(MFU-bf16 {w8_bmax['mfu']:.2f})"))
     mode_label = {"w8a8": "w8a8",
                   "w8a8+fused_mlp": "w8a8 + fused-MLP Pallas kernel",
                   "w8a8+pallas_mm": "w8a8 + Pallas matmul",
@@ -142,18 +161,22 @@ def render(rec: dict, src: str) -> str:
     return "\n".join(lines)
 
 
+TARGET_FILES = ("README.md", "BASELINE.md")
+
+
 def main() -> None:
     rec, src = latest_bench()
-    path = os.path.join(ROOT, "README.md")
-    with open(path) as f:
-        text = f.read()
     block = render(rec, src)
     pattern = re.compile(re.escape(START) + ".*?" + re.escape(END), re.S)
-    if not pattern.search(text):
-        raise SystemExit("README.md is missing the BENCH_TABLE markers")
-    with open(path, "w") as f:
-        f.write(pattern.sub(lambda _: block, text))
-    print(f"README.md table regenerated from {src}")
+    for name in TARGET_FILES:
+        path = os.path.join(ROOT, name)
+        with open(path) as f:
+            text = f.read()
+        if not pattern.search(text):
+            raise SystemExit(f"{name} is missing the BENCH_TABLE markers")
+        with open(path, "w") as f:
+            f.write(pattern.sub(lambda _: block, text))
+        print(f"{name} table regenerated from {src}")
 
 
 if __name__ == "__main__":
