@@ -192,11 +192,18 @@ def test_fused_qstack_storage_is_lane_padded_at_flagship_geometry():
 def test_w8a8_fused_mlp_backend():
     """The "fused" serving backend (whole-MLP Pallas kernel,
     ops/pallas_fused_mlp.py) matches the XLA w8a8 path, and split_qstack
-    moves exactly the stacked MLP kernels. At tiny geometry F <= block_f,
-    so the kernel's per-(token, group) down-input quantization coincides
-    with XLA's per-token quantization and the outputs agree to fp
-    tolerance; kernel-level goldens incl. multi-group and ragged-F live in
-    test_ops."""
+    moves exactly the stacked MLP kernels (ViT/LLM scan stacks AND the
+    round-5 projector L=1 stack). At tiny geometry F <= block_f the
+    kernel's per-(token, group) down-input quantization coincides with
+    XLA's per-token quantization — but the two paths are NOT bit-identical
+    (the kernel's erf is the A&S 7.1.26 approximation, ~1.5e-7), and with
+    act_int8_min_dim=1 every downstream matmul REQUANTIZES: a 1e-7
+    perturbation near an int8 rounding boundary flips a grid step and the
+    flip compounds. So the end-to-end gate is error-vs-fp32 (the fused
+    path must not be meaningfully noisier than the XLA path), while exact
+    path-vs-path parity is asserted at the module level
+    (test_projector_fused_kernel_matches_xla) and in test_ops' kernel
+    goldens (multi-group, ragged-F)."""
     import dataclasses as _dc
 
     from vla_adapter_tpu.models.quantize import split_qstack
@@ -213,6 +220,8 @@ def test_w8a8_fused_mlp_backend():
         proprio=batch["proprio"],
     )
     params = model_fp.init(jax.random.key(0), **kwargs)["params"]
+    out_fp = np.asarray(model_fp.apply({"params": params},
+                                       **kwargs)["actions"])
     q_params = quantize_params(jax.device_get(params))
 
     rt_x = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
@@ -225,13 +234,17 @@ def test_w8a8_fused_mlp_backend():
     model_f = VLAModel(TINY_CFG, rt_f)
     shapes = jax.eval_shape(lambda k: model_f.init(k, **kwargs),
                             jax.random.key(0))
-    # exactly the MLP kernels land in qstack, with the FULL layer axis
+    # exactly the MLP kernels land in qstack, with the FULL layer axis —
+    # and the projector's L=1 stack (VERDICT r4 item 3) is among them
     flat = {jax.tree_util.keystr(p): v for p, v in
             jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
     assert any("mlp" in k and "gate_proj" in k for k in flat)
     assert any("fc1" in k for k in flat)
+    assert any("projector" in k and "kernel_q" in k for k in flat)
     assert all(v.shape[0] == TINY_CFG.llm.num_layers
                for k, v in flat.items() if "language_model" in k)
+    assert all(v.shape[0] == 1
+               for k, v in flat.items() if "projector" in k)
     params_f, qstack = split_qstack(q_params, shapes["qstack"])
     # moved leaves are gone from params and present in qstack
     flat_p = {jax.tree_util.keystr(p) for p, _ in
@@ -240,7 +253,48 @@ def test_w8a8_fused_mlp_backend():
     out_f = np.asarray(
         model_f.apply({"params": params_f, "qstack": qstack},
                       **kwargs)["actions"])
-    np.testing.assert_allclose(out_f, out_x, rtol=2e-5, atol=2e-5)
+    err_x = float(np.max(np.abs(out_x - out_fp)))
+    err_f = float(np.max(np.abs(out_f - out_fp)))
+    assert np.isfinite(out_f).all()
+    # the fused backend may not be meaningfully noisier than XLA w8a8
+    assert err_f <= 1.5 * err_x + 1e-4, (err_f, err_x)
+
+
+def test_projector_fused_kernel_matches_xla():
+    """Module-level parity for the round-5 projector fused-kernel path
+    (VERDICT r4 item 3): both projector variants under w8a8_impl="fused"
+    (whole-MLP Pallas kernel with an L=1 stack) match their XLA w8a8 twins
+    to fp tolerance — here nothing downstream requantizes, so the only
+    divergence is the kernel's ~1.5e-7 erf approximation."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.models.projector import FusedProjector, Projector
+    from vla_adapter_tpu.models.quantize import split_qstack
+
+    rng = np.random.default_rng(0)
+    for cls, in_dim, llm_dim in [(Projector, 32, 64),
+                                 (FusedProjector, 48, 64)]:
+        x = jnp.asarray(rng.normal(size=(16, in_dim)), jnp.float32)
+        rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                        attn_impl="xla")
+        params = cls(llm_dim, rt=rt_fp).init(jax.random.key(0), x)["params"]
+        q = quantize_params(jax.device_get(params))
+
+        rt_x = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
+                           act_int8_min_dim=1, w8a8_impl="xla")
+        out_x = np.asarray(cls(llm_dim, rt=rt_x).apply({"params": q}, x))
+
+        rt_f = _dc.replace(rt_x, w8a8_impl="fused")
+        m_f = cls(llm_dim, rt=rt_f)
+        shapes = jax.eval_shape(lambda k: m_f.init(k, x), jax.random.key(0))
+        keys = {jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
+        # fc1/fc2 run as ONE kernel; FusedProjector's fc3 stays XLA w8a8
+        assert any("fc1" in k for k in keys) and any("fc2" in k for k in keys)
+        assert not any("fc3" in k for k in keys)
+        pq, qs = split_qstack(q, shapes["qstack"])
+        out_f = np.asarray(m_f.apply({"params": pq, "qstack": qs}, x))
+        np.testing.assert_allclose(out_f, out_x, rtol=2e-5, atol=2e-5)
 
 
 def test_cached_decode_under_fused_layout():

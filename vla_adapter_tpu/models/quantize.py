@@ -95,6 +95,13 @@ def split_qstack(
                 leaf = param_node.pop(key)
                 expect = tuple(sub.shape)
                 got = tuple(np.shape(leaf))
+                if len(got) == len(expect) - 1 and expect[0] == 1:
+                    # un-scanned modules (the projector MLP) declare their
+                    # fused-kernel storage with a leading L=1 stack axis;
+                    # their quantized params are per-module (no stack axis)
+                    leaf = (leaf[None] if isinstance(leaf, jax.Array)
+                            else np.asarray(leaf)[None])
+                    got = (1,) + got
                 if got != expect:
                     # the declared storage may be lane-padded (models/
                     # layers._stacked_qkernel: s8 stacks whose minor dims
