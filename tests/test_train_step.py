@@ -246,6 +246,80 @@ def test_multidevice_tp_train_step():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_multidevice_int8_base_train_step():
+    """The SHIPPED LoRA-recipe default (base_int8=True, core/experiments.py)
+    under dp=2 x fsdp=2 x tensor=2 matches single-device execution: sharded
+    int8 kernel_q/kernel_scale frozen trees + the STE custom-VJP
+    (models/layers.w8a8_matmul_ste) under the GSPMD collectives XLA derives
+    (VERDICT r4 item 4 — the numerics gate and the chip measurement were
+    single-device only). act_int8_min_dim=1 puts EVERY tiny-geometry base
+    matmul on the int8 path, the worst case for sharding surprises."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.models.quantize import quantize_params
+
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+
+    rt_f = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                   attn_impl="xla", lora_rank=4, lora_scale=2.0)
+    rt_q = _dc.replace(rt_f, weights_int8=True, act_int8=True,
+                       act_int8_min_dim=1, train_base_int8=True)
+    model = VLAModel(TINY_CFG, rt_q)
+    tcfg = TrainConfig(
+        model=TINY_CFG,
+        optim=OptimizerConfig(learning_rate=1e-3, max_steps=100,
+                              num_steps_before_decay=1000),
+        grad_accumulation_steps=1,
+    )
+    tx = make_optimizer(tcfg.optim, warmup_steps=0)
+    batch = jax.tree.map(
+        jnp.asarray, make_dummy_batch(TINY_CFG, 8, np.random.default_rng(3)))
+    # the train/loop.py recipe: init float, quantize the frozen subtree
+    state = init_train_state(VLAModel(TINY_CFG, rt_f), tx, batch,
+                             jax.random.key(0), lora_enabled=True)
+    state = TrainState(
+        step=state.step, trainable=state.trainable,
+        frozen=jax.tree.map(jnp.asarray,
+                            quantize_params(jax.device_get(state.frozen))),
+        opt_state=state.opt_state,
+    )
+    step = jax.jit(make_train_step(model, tx, tcfg))
+
+    sharded = TrainState(
+        step=state.step,
+        trainable=shard_params(state.trainable, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        opt_state=jax.tree.map(
+            lambda x: shard_params(x, mesh) if isinstance(x, dict) else x,
+            state.opt_state,
+            is_leaf=lambda x: isinstance(x, dict),
+        ),
+    )
+    # the int8 stacks themselves must be sharded, not replicated fallbacks
+    q_shardings = params_shardings(state.frozen, mesh)
+    q_leaves = [
+        (jax.tree_util.keystr(p), s) for p, s in
+        jax.tree_util.tree_flatten_with_path(q_shardings)[0]
+        if "kernel_q" in jax.tree_util.keystr(p)]
+    assert q_leaves
+    assert any("fsdp" in str(s.spec) or "tensor" in str(s.spec)
+               for _, s in q_leaves), q_leaves
+
+    s1, m1 = step(state, batch, jax.random.key(0))
+    s2, m2 = step(sharded, shard_batch(batch, mesh), jax.random.key(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
+    a = jax.tree.leaves(s1.trainable)[0]
+    b = jax.tree.leaves(s2.trainable)[0]
+    # atol looser than the float parity tests: the STE backward's f32
+    # dequant-scale products reassociate under the sharded reduction
+    # (observed max |diff| 1.7e-6 on one element of an Adam ±1e-3 update)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_remat_policies_numerics_neutral():
     """Rematerialization must not change the math: loss and grads under
     every remat policy (nothing / dots_no_batch / mlp_saved, the

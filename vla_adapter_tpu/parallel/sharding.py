@@ -81,8 +81,14 @@ def create_mesh(
 
 # Parameters whose *last* dim should carry the tensor axis (column-parallel)
 # and whose output dim is contracted (row-parallel) — reserved for TP.
-_TP_COL = re.compile(r"(q_proj|k_proj|v_proj|gate_proj|up_proj|fc1|fc_in)/kernel$")
-_TP_ROW = re.compile(r"(o_proj|down_proj|out_proj|fc2|fc_out)/kernel$")
+# kernel_q is the int8 storage twin of kernel (train_base_int8 / serving
+# trees, models/layers.Dense): same (in, out) geometry, same splits.
+_TP_COL = re.compile(r"(q_proj|k_proj|v_proj|gate_proj|up_proj|fc1|fc_in)/kernel(_q)?$")
+_TP_ROW = re.compile(r"(o_proj|down_proj|out_proj|fc2|fc_out)/kernel(_q)?$")
+# A column-split kernel(_q)'s per-out-channel int8 scale splits with it;
+# row-parallel scales stay whole (their out axis is not contracted).
+_TP_COL_SCALE = re.compile(
+    r"(q_proj|k_proj|v_proj|gate_proj|up_proj|fc1|fc_in)/kernel_scale$")
 
 
 def param_pspec(
@@ -101,11 +107,15 @@ def param_pspec(
     """
     ndim = len(shape)
     spec = [None] * ndim
-    if tensor_size > 1 and ndim >= 2:
-        if _TP_COL.search(path) and shape[-1] % tensor_size == 0:
+    if tensor_size > 1:
+        if ndim >= 2 and _TP_COL.search(path) and shape[-1] % tensor_size == 0:
             spec[-1] = TENSOR_AXIS
-        elif _TP_ROW.search(path) and shape[-2] % tensor_size == 0:
+        elif ndim >= 2 and _TP_ROW.search(path) and shape[-2] % tensor_size == 0:
             spec[-2] = TENSOR_AXIS
+        elif (_TP_COL_SCALE.search(path)
+              and shape[-1] % tensor_size == 0):
+            # (out,) / (L, out) int8 scales follow their column-split kernel
+            spec[-1] = TENSOR_AXIS
     if fsdp_size > 1 and int(np.prod(shape)) >= min_fsdp_size:
         # candidate dims: all but a scanned leading layer axis; prefer last.
         start = 1 if ndim >= 3 else 0  # (L, in, out) stacks keep L whole
