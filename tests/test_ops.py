@@ -253,3 +253,79 @@ def test_fused_mlp_kernel_goldens():
             jnp.asarray(b2), jnp.int32(layer), act="gelu", block_f=BF,
             out_dtype=jnp.float32, interpret=True))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_megalayer_kernel_golden():
+    """ops/pallas_megalayer.py (interpret mode) matches a numpy
+    re-derivation of its exact semantics: f32 attention with an additive
+    key bias, per-token context quantization into the o projection,
+    residual + RMSNorm2, and the per-(token, panel) gated w8a8 MLP —
+    multi-layer, multi-q-block, GQA folding, ragged F vs block_f. Inputs
+    are f32 so the kernel's value-dtype casts are exact and the comparison
+    is tight."""
+    from vla_adapter_tpu.models.quantize import quantize_kernel
+    from vla_adapter_tpu.ops.pallas_megalayer import w8a8_qwen2_layer_stacked
+
+    def qrows(val):
+        s = np.maximum(np.max(np.abs(val), axis=-1, keepdims=True),
+                       1e-8) / 127.0
+        return np.clip(np.round(val / s), -127, 127), s
+
+    rng = np.random.default_rng(5)
+    L, M, D, H, HKV, DH, F, BF = 2, 32, 64, 4, 2, 16, 80, 64  # F ragged
+    G = H // HKV
+    eps = 1e-6
+    x = rng.normal(size=(M, D)).astype(np.float32)
+    q = rng.normal(size=(HKV, G, M, DH)).astype(np.float32)
+    k = rng.normal(size=(HKV, M, DH)).astype(np.float32)
+    v = rng.normal(size=(HKV, M, DH)).astype(np.float32)
+    bias = np.where(rng.random(M) < 0.8, 0.0, -2.0e9).astype(np.float32)
+    n2 = rng.normal(size=(D,)).astype(np.float32) * 0.2 + 1.0
+    ow = rng.normal(size=(L, H * DH, D)).astype(np.float32) * 0.05
+    gw = rng.normal(size=(L, D, F)).astype(np.float32) * 0.05
+    uw = rng.normal(size=(L, D, F)).astype(np.float32) * 0.05
+    dw = rng.normal(size=(L, F, D)).astype(np.float32) * 0.05
+    oq, osc = quantize_kernel(ow)
+    gq, gs = quantize_kernel(gw)
+    uq, us = quantize_kernel(uw)
+    dq, ds = quantize_kernel(dw)
+
+    def ref(layer):
+        ctx = np.zeros((H, M, DH), np.float32)
+        for kvh in range(HKV):
+            for g in range(G):
+                s = (q[kvh, g] @ k[kvh].T) * DH ** -0.5 + bias[None, :]
+                mx = s.max(-1, keepdims=True)
+                p = np.exp(s - mx)
+                ctx[kvh * G + g] = (p @ v[kvh]) / p.sum(-1, keepdims=True)
+        scale = np.maximum(np.abs(ctx).max(axis=(0, 2)), 1e-8) / 127.0
+        acc = np.zeros((M, D), np.float32)
+        for h in range(H):
+            cq = np.clip(np.round(ctx[h] / scale[:, None]), -127, 127)
+            acc += cq @ oq[layer, h * DH:(h + 1) * DH].astype(np.float32)
+        xattn = x + acc * scale[:, None] * osc[layer]
+        h2 = xattn / np.sqrt((xattn ** 2).mean(-1, keepdims=True) + eps) * n2
+        hq, hs = qrows(h2)
+        out = np.zeros((M, D), np.float32)
+        for t in range(-(-F // BF)):
+            g = (hq @ gq[layer, :, t * BF:(t + 1) * BF].astype(np.float32)
+                 ) * hs * gs[layer, t * BF:(t + 1) * BF]
+            u = (hq @ uq[layer, :, t * BF:(t + 1) * BF].astype(np.float32)
+                 ) * hs * us[layer, t * BF:(t + 1) * BF]
+            hm = (g / (1 + np.exp(-g))) * u
+            hmq, hms = qrows(hm)
+            out += (hmq @ dq[layer, t * BF:(t + 1) * BF].astype(np.float32)
+                    ) * hms
+        return xattn + out * ds[layer]
+
+    for layer in range(L):
+        got = np.asarray(w8a8_qwen2_layer_stacked(
+            jnp.asarray(x), jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bias), jnp.asarray(n2),
+            jnp.asarray(oq), jnp.asarray(osc),
+            jnp.asarray(gq), jnp.asarray(gs),
+            jnp.asarray(uq), jnp.asarray(us),
+            jnp.asarray(dq), jnp.asarray(ds),
+            jnp.int32(layer), num_heads=H, num_kv_heads=HKV, eps=eps,
+            block_q=16, block_f=BF, out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, ref(layer), rtol=2e-4, atol=2e-4)

@@ -377,3 +377,59 @@ def test_quantization_report():
     fwd = forward_error_report(TINY_CFG, params, rt=rt)
     assert 0 <= fwd["max_abs_action_diff"] < 0.15
     assert fwd["mean_abs_action_diff"] <= fwd["max_abs_action_diff"]
+
+
+def test_mega_backend_matches_xla_on_qwen2():
+    """The batch-1 whole-decoder-layer megakernel backend
+    (w8a8_impl="mega", ops/pallas_megalayer.py) against the XLA w8a8
+    Qwen2Model: identical quantization granularity everywhere, attention
+    algebraically identical in f32 — the comparison is direct (no erf
+    approximation in this path), with headroom only for f32 association
+    differences compounding through requantization. Also checks the mega
+    qstack adds the o-projection stack and split_qstack handles it."""
+    import dataclasses as _dc
+
+    from vla_adapter_tpu.core.config import Qwen2Config
+    from vla_adapter_tpu.models.qwen2 import Qwen2Model
+    from vla_adapter_tpu.models.quantize import split_qstack
+
+    cfg = Qwen2Config(vocab_size=256, hidden_size=64, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=160,
+                      head_dim=16)
+    rt_fp = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                    attn_impl="xla")
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 256, (1, 32)), jnp.int32)
+    valid = jnp.asarray(rng.random((1, 32)) < 0.9, jnp.int32)
+    kwargs = dict(input_ids=ids, valid=valid, causal=False)
+
+    model_fp = Qwen2Model(cfg, rt_fp)
+    params = model_fp.init(jax.random.key(0), **kwargs)["params"]
+    out_fp = np.asarray(
+        model_fp.apply({"params": params}, **kwargs)["last_hidden_state"])
+    q_params = quantize_params(jax.device_get(params))
+
+    rt_x = _dc.replace(rt_fp, weights_int8=True, act_int8=True,
+                       act_int8_min_dim=1, w8a8_impl="xla")
+    out_x = np.asarray(Qwen2Model(cfg, rt_x).apply(
+        {"params": q_params}, **kwargs)["last_hidden_state"])
+
+    rt_m = _dc.replace(rt_x, w8a8_impl="mega")
+    model_m = Qwen2Model(cfg, rt_m)
+    shapes = jax.eval_shape(lambda key: model_m.init(key, **kwargs),
+                            jax.random.key(0))
+    keys = {jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(shapes["qstack"])[0]}
+    assert any("o_proj" in k for k in keys), keys
+    assert any("gate_proj" in k for k in keys)
+    params_m, qstack = split_qstack(q_params, shapes["qstack"])
+    out_m = np.asarray(model_m.apply(
+        {"params": params_m, "qstack": qstack}, **kwargs)
+        ["last_hidden_state"])
+
+    err_x = float(np.max(np.abs(out_x - out_fp)))
+    err_m = float(np.max(np.abs(out_m - out_fp)))
+    assert np.isfinite(out_m).all()
+    assert err_m <= 1.5 * err_x + 1e-4, (err_m, err_x)
+    # and directly close to the XLA quantized path
+    np.testing.assert_allclose(out_m, out_x, rtol=5e-2, atol=5e-3)

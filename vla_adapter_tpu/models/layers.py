@@ -119,19 +119,21 @@ class Runtime:
     stacked_layers: int = 0
 
     def __post_init__(self):
-        if self.w8a8_impl not in ("xla", "fused", "auto"):
+        if self.w8a8_impl not in ("xla", "fused", "mega", "auto"):
             raise ValueError(
                 f"w8a8_impl={self.w8a8_impl!r}: valid backends are 'xla', "
-                "'fused', and the frontend value 'auto' (batch-keyed "
-                "dispatch between them). The round-3 'pallas'/"
+                "'fused', 'mega' (batch-1 whole-decoder-layer kernel, "
+                "ops/pallas_megalayer.py), and the frontend value 'auto' "
+                "(batch-keyed dispatch). The round-3 'pallas'/"
                 "'pallas_stacked' backends measured slower than XLA end to "
                 "end and were demoted to tools/probes/ (BREAKDOWN.md).")
 
     @property
     def stacked_serving(self) -> bool:
-        """True for the serving mode that keeps scanned stacks' int8 MLP
-        kernels whole in the broadcast "qstack" collection."""
-        return self.w8a8_impl == "fused"
+        """True for the serving modes that keep scanned stacks' int8 MLP
+        (and, for 'mega', o-projection) kernels whole in the broadcast
+        "qstack" collection."""
+        return self.w8a8_impl in ("fused", "mega")
 
 
 # Measured crossover of the batch-keyed "auto" w8a8 dispatch (BENCH_r03,
@@ -448,14 +450,21 @@ class BatchedDense(nn.Module):
 
 
 class RMSNorm(nn.Module):
-    """Qwen2/LLaMA RMSNorm: y = w * x / sqrt(mean(x^2) + eps), fp32 math."""
+    """Qwen2/LLaMA RMSNorm: y = w * x / sqrt(mean(x^2) + eps), fp32 math.
+
+    ``scale_only=True`` declares and returns just the (dim,) scale param —
+    for kernels that apply the norm in-VMEM (ops/pallas_megalayer.py) while
+    keeping this module the param's owner so checkpoints stay layout-
+    compatible across backends."""
 
     eps: float = 1e-6
     rt: Runtime = Runtime()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, scale_only: bool = False):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), self.rt.param_dtype)
+        if scale_only:
+            return scale.astype(jnp.float32)
         xf = x.astype(jnp.float32)
         xf = xf * lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
         return (xf * scale.astype(jnp.float32)).astype(self.rt.dtype)

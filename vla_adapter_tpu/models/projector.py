@@ -29,7 +29,7 @@ def _use_fused_mlp(rt: Runtime, in_dim: int, hidden_dim: int,
     gates only on the serving mode and on every matmul clearing
     act_int8_min_dim (below it the XLA path would not be w8a8 either, and
     the kernel has no bf16-upcast fallback)."""
-    return (rt.weights_int8 and rt.act_int8 and rt.w8a8_impl == "fused"
+    return (rt.weights_int8 and rt.act_int8 and rt.stacked_serving
             and min(in_dim, hidden_dim, out_dim) >= rt.act_int8_min_dim)
 
 

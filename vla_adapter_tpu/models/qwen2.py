@@ -117,7 +117,7 @@ class Qwen2MLP(nn.Module):
 
     def __call__(self, x, layer=None):
         cfg, rt = self.cfg, self.rt
-        if (rt.weights_int8 and rt.act_int8 and rt.w8a8_impl == "fused"
+        if (rt.weights_int8 and rt.act_int8 and rt.stacked_serving
                 and rt.stacked_layers > 0 and layer is not None
                 and min(cfg.hidden_size, cfg.intermediate_size)
                 >= rt.act_int8_min_dim):
@@ -165,6 +165,10 @@ class Qwen2DecoderLayer(nn.Module):
 
     def __call__(self, x, cos, sin, valid, causal: bool,
                  return_kv: bool = False, layer=None):
+        rt = self.rt
+        if (rt.w8a8_impl == "mega" and rt.stacked_layers > 0
+                and layer is not None and not return_kv):
+            return self._mega(x, cos, sin, valid, causal, layer)
         if (self.rt.remat and self.rt.policy_for("llm") == "attn_only"
                 and "llm" in self.rt.remat_components and not return_kv):
             # Structural remat: checkpoint ONLY the attention half; the MLP
@@ -191,7 +195,64 @@ class Qwen2DecoderLayer(nn.Module):
         out = x + self.mlp(h, layer)
         return (out, kv) if return_kv else out
 
+    def _mega(self, x, cos, sin, valid, causal, layer):
+        """Whole-layer megakernel path (ops/pallas_megalayer.py): the XLA
+        prologue (norm1 + q/k/v + RoPE — measured round 4 to beat stacked
+        hand kernels) feeds ONE pallas_call that runs attention, the
+        o-projection, the post-attention norm, and the gated MLP with every
+        intermediate in VMEM. Batch-1 bidirectional serving only: the
+        kernel folds batch into the token axis and attends across all rows,
+        so b > 1 would cross-attend between examples."""
+        from vla_adapter_tpu.ops.pallas_megalayer import (
+            w8a8_qwen2_layer_stacked,
+        )
+
+        cfg, rt = self.cfg, self.rt
+        b, s, d = x.shape
+        assert b == 1, (
+            "w8a8_impl='mega' is a batch-1 serving kernel; build the model "
+            "with 'fused'/'xla' (or the batch-keyed 'auto') for batch > 1")
+        assert not causal, "mega kernel implements the bidirectional mode"
+        h = self.input_layernorm(x)
+        q, k, v = self.self_attn._qkv(h, layer)          # (1, S, H(kv), Dh)
+        from vla_adapter_tpu.ops.rope import apply_rope_half
+
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        hkv, g = cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads
+        qk = q[0].transpose(1, 0, 2).reshape(hkv, g, s, cfg.head_dim)
+        kk = k[0].transpose(1, 0, 2)                     # (Hkv, S, Dh)
+        vk = v[0].transpose(1, 0, 2)
+        if valid is None:
+            bias = jnp.zeros((s,), jnp.float32)
+        else:
+            bias = jnp.where(valid[0] > 0, 0.0, -2.0e9).astype(jnp.float32)
+        n2 = self.post_attention_layernorm(x, scale_only=True)
+        oq, osc, _ = self.self_attn.o_proj(
+            jnp.zeros((1, cfg.num_heads * cfg.head_dim), x.dtype), layer,
+            stacked_weights_only=True)
+        fp = -(-cfg.intermediate_size // 128) * 128
+        gq, gs, _ = self.mlp.gate_proj(
+            jnp.zeros((1, d), x.dtype), layer, stacked_weights_only=True,
+            pad_out_to=fp)
+        uq, us, _ = self.mlp.up_proj(
+            jnp.zeros((1, d), x.dtype), layer, stacked_weights_only=True,
+            pad_out_to=fp)
+        dq, dsc, _ = self.mlp.down_proj(
+            jnp.zeros((1, cfg.intermediate_size), x.dtype), layer,
+            stacked_weights_only=True, pad_in_to=fp)
+        out = w8a8_qwen2_layer_stacked(
+            x[0], qk, kk, vk, bias, n2, oq, osc, gq, gs, uq, us, dq, dsc,
+            layer, num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+            eps=cfg.rms_norm_eps, out_dtype=rt.dtype)
+        return out[None]
+
     def decode_step(self, x, k_cache, v_cache, pos, layer=None):
+        if self.rt.w8a8_impl == "mega":
+            raise NotImplementedError(
+                "w8a8_impl='mega' serves the batch-1 VLA forward only; the "
+                "cached decode path stores the o-projection in the params "
+                "collection — use 'fused' or 'xla' for generation")
         h = self.input_layernorm(x)
         attn, k_cache, v_cache = self.self_attn.decode_step(
             h, k_cache, v_cache, pos, layer

@@ -68,7 +68,7 @@ class ViTMLP(nn.Module):
         cfg, rt = self.cfg, self.rt
         fc1 = Dense(cfg.mlp_dim, rt=rt, name="fc1")
         fc2 = Dense(cfg.hidden_size, rt=rt, name="fc2")
-        if (rt.weights_int8 and rt.act_int8 and rt.w8a8_impl == "fused"
+        if (rt.weights_int8 and rt.act_int8 and rt.stacked_serving
                 and rt.stacked_layers > 0 and layer is not None
                 and min(cfg.hidden_size, cfg.mlp_dim)
                 >= rt.act_int8_min_dim):
