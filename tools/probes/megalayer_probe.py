@@ -27,6 +27,7 @@ def main():
     from vla_adapter_tpu.models.vla import VLAModel
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     cfg = VLAConfig()
     err = bench.check_device_reachable(timeout_s=600.0)
     assert err is None, err
@@ -34,7 +35,7 @@ def main():
     print(f"dispatch overhead {overhead*1e3:.1f} ms", flush=True)
 
     results = {}
-    for trial in range(2):
+    for trial in range(trials):
         for impl in ("fused", "mega"):
             rt = Runtime(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                          attn_impl="auto", weights_int8=True, act_int8=True,

@@ -120,36 +120,51 @@ def profile_forward():
 
 
 def profile_train():
+    """Device-op profile of the SHIPPED train recipe (bs8, accum 2, LoRA
+    r64, int8 frozen base — core/experiments.py; PROFILE_INT8_BASE=0 for
+    the bf16-base comparability row). Mirrors bench.bench_train_step's
+    construction exactly so the trace attributes the same step the bench
+    times (VERDICT r4 item 7: the train residual story was inferential —
+    no device-trace attribution existed for training)."""
     from vla_adapter_tpu.core.config import TrainConfig
     from vla_adapter_tpu.data.dummy import make_dummy_batch
-    from vla_adapter_tpu.models.layers import Runtime
     from vla_adapter_tpu.models.vla import VLAModel
+    from vla_adapter_tpu.train.loop import build_runtime, float_twin
     from vla_adapter_tpu.train.optim import make_optimizer
     from vla_adapter_tpu.train.partition import split_trainable
     from vla_adapter_tpu.train.step import TrainState, make_train_step
 
-    tcfg = TrainConfig(batch_size=8)
-    rt = Runtime(
-        dtype=jnp.bfloat16, param_dtype=jnp.float32,
-        lora_rank=tcfg.lora.rank, lora_scale=tcfg.lora.scale,
-        remat=True, remat_policy=tcfg.remat_policy, attn_impl="auto",
-    )
+    base_int8 = os.environ.get("PROFILE_INT8_BASE", "1") == "1"
+    tcfg = TrainConfig(batch_size=8, grad_accumulation_steps=2,
+                       base_int8=base_int8)
+    rt = build_runtime(tcfg)
     model = VLAModel(tcfg.model, rt)
     tx = make_optimizer(tcfg.optim)
-    batch_np = make_dummy_batch(tcfg.model, 8, np.random.default_rng(0))
+    batch_np = make_dummy_batch(tcfg.model, tcfg.batch_size,
+                                np.random.default_rng(0),
+                                accum_steps=tcfg.grad_accumulation_steps)
     batch = jax.tree.map(jnp.asarray, batch_np)
+    example = jax.tree.map(lambda x: x[0], batch)
+    init_model = (VLAModel(tcfg.model, float_twin(rt))
+                  if base_int8 else model)
     shapes = jax.eval_shape(
-        lambda: model.init(
+        lambda: init_model.init(
             {"params": jax.random.key(0), "noise": jax.random.key(1)},
-            input_ids=batch["input_ids"], prompt_len=batch["prompt_len"],
-            text_valid=batch["text_valid"], pixel_values=batch["pixel_values"],
-            proprio=batch.get("proprio"), train=True,
+            input_ids=example["input_ids"], prompt_len=example["prompt_len"],
+            text_valid=example["text_valid"],
+            pixel_values=example["pixel_values"],
+            proprio=example.get("proprio"), train=True,
         )["params"])
     params = zeros_like_shapes(shapes)
     trainable, frozen = split_trainable(params, lora_enabled=True)
     frozen = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
+    if base_int8:
+        from vla_adapter_tpu.models.quantize import quantize_params
+
+        frozen = jax.tree.map(jnp.asarray,
+                              quantize_params(jax.device_get(frozen)))
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        frozen=frozen, opt_state=tx.init(trainable))
     step = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=0)
@@ -170,7 +185,9 @@ def profile_train():
         for i in range(2):
             state, m = step(state, *fresh(i))
             float(m["loss"])
-    aggregate(newest_trace(root), "bs8 lora train step x2")
+    base = "int8" if base_int8 else "bf16"
+    aggregate(newest_trace(root),
+              f"bs8 accum2 lora64 {base}-base train step x2")
 
 
 if __name__ == "__main__":
