@@ -20,6 +20,11 @@ import jax.numpy as jnp
 
 import bench
 
+bench._jax_setup()  # persistent compile cache: bench.py no longer
+# configures it at import time (the orchestrator must not), so every
+# timing probe must opt in or it silently recompiles the flagship
+# from scratch (~12 min) on EVERY run
+
 
 def main():
     from vla_adapter_tpu.core.config import VLAConfig
