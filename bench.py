@@ -273,10 +273,11 @@ def bench_train_step(overhead, base_int8=False):
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
     if base_int8:
-        from vla_adapter_tpu.models.quantize import quantize_params
+        from vla_adapter_tpu.models.quantize import quantize_params_jax
 
-        frozen = jax.tree.map(jnp.asarray,
-                              quantize_params(jax.device_get(frozen)))
+        # on device: the host twin round-trips ~3.6 GB through the tunnel
+        # and blew the phase's 900 s cap (r5 warm run)
+        frozen = jax.jit(quantize_params_jax)(frozen)
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        frozen=frozen, opt_state=tx.init(trainable))
     # donate the state: the optimizer update reuses its buffers in place,

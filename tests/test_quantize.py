@@ -433,3 +433,45 @@ def test_mega_backend_matches_xla_on_qwen2():
     assert err_m <= 1.5 * err_x + 1e-4, (err_m, err_x)
     # and directly close to the XLA quantized path
     np.testing.assert_allclose(out_m, out_x, rtol=5e-2, atol=5e-3)
+
+
+def test_quantize_params_jax_matches_numpy():
+    """The device-side quantizer (quantize_params_jax — used by int8-base
+    train startup, the int8 Predictor, and bench's train phase to avoid
+    the host round-trip of the frozen tree) must agree EXACTLY with the
+    numpy twin: the leaf math is elementwise f32 (abs/max/div/round/clip),
+    bit-exact on CPU and TPU alike."""
+    from vla_adapter_tpu.models.quantize import (
+        quantize_params,
+        quantize_params_jax,
+    )
+
+    rng = np.random.default_rng(11)
+    params = {
+        "encoder": {
+            "layers": {  # scanned 3D stack, with a zero out-channel
+                "attn": {"kernel": rng.normal(size=(3, 16, 24)).astype(
+                    np.float32)},
+            },
+            "patch_embed": {"kernel": rng.normal(size=(2, 2, 3, 8)).astype(
+                np.float32)},  # 4D conv: must stay float
+            "norm": {"scale": np.ones((16,), np.float32)},
+        },
+        "head": {"out": {"kernel": rng.normal(size=(16, 7)).astype(
+            np.float32), "bias": np.zeros((7,), np.float32)}},
+    }
+    params["encoder"]["layers"]["attn"]["kernel"][1, :, 5] = 0.0  # scale==0 path
+
+    q_np = quantize_params(params)
+    q_jax = jax.device_get(
+        jax.jit(quantize_params_jax)(jax.tree.map(jnp.asarray, params)))
+
+    flat_np = jax.tree_util.tree_flatten_with_path(q_np)
+    flat_jax = jax.tree_util.tree_flatten_with_path(q_jax)
+    assert [p for p, _ in flat_np[0]] == [p for p, _ in flat_jax[0]]
+    for (path, a), (_, b) in zip(flat_np[0], flat_jax[0]):
+        assert a.dtype == b.dtype, (path, a.dtype, b.dtype)
+        np.testing.assert_array_equal(a, b, err_msg=str(path))
+    # the conv kernel and norm scale passed through untouched
+    assert q_jax["encoder"]["patch_embed"]["kernel"].shape == (2, 2, 3, 8)
+    assert "kernel_q" in q_jax["head"]["out"]

@@ -161,10 +161,9 @@ def profile_train():
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
     if base_int8:
-        from vla_adapter_tpu.models.quantize import quantize_params
+        from vla_adapter_tpu.models.quantize import quantize_params_jax
 
-        frozen = jax.tree.map(jnp.asarray,
-                              quantize_params(jax.device_get(frozen)))
+        frozen = jax.jit(quantize_params_jax)(frozen)  # on device
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        frozen=frozen, opt_state=tx.init(trainable))
     step = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=0)

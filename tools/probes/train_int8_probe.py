@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from bench import measure_dispatch_overhead, zeros_like_shapes  # noqa: E402
 from vla_adapter_tpu.core.config import TrainConfig  # noqa: E402
 from vla_adapter_tpu.data.dummy import make_dummy_batch  # noqa: E402
-from vla_adapter_tpu.models.quantize import quantize_params  # noqa: E402
+from vla_adapter_tpu.models.quantize import quantize_params_jax  # noqa: E402
 from vla_adapter_tpu.models.vla import VLAModel  # noqa: E402
 from vla_adapter_tpu.train.loop import build_runtime, float_twin  # noqa: E402
 from vla_adapter_tpu.train.optim import make_optimizer  # noqa: E402
@@ -67,8 +67,7 @@ def train_step_time(overhead, base_int8, accum=2, batch_size=8):
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
     if base_int8:
-        frozen = jax.tree.map(jnp.asarray,
-                              quantize_params(jax.device_get(frozen)))
+        frozen = jax.jit(quantize_params_jax)(frozen)  # on device
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        frozen=frozen, opt_state=tx.init(trainable))
     step = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=0)

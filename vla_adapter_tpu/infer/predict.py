@@ -67,9 +67,10 @@ class Predictor:
         import dataclasses as _dc
 
         if self.int8 or self.act_int8:
-            from vla_adapter_tpu.models.quantize import quantize_params
+            from vla_adapter_tpu.models.quantize import quantize_params_jax
 
-            self.params = quantize_params(jax.device_get(self.params))
+            # device-side quantize: no host round-trip of the weight tree
+            self.params = jax.jit(quantize_params_jax)(self.params)
             self.rt = _dc.replace(self.rt, weights_int8=True,
                                   act_int8=self.act_int8,
                                   w8a8_impl=self.w8a8_impl)

@@ -37,33 +37,71 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     a leading stack axis."""
     k = np.asarray(kernel, np.float32)
     absmax = np.max(np.abs(k), axis=-2, keepdims=True)  # over `in`
-    scale = (absmax / 127.0).astype(np.float32)
+    # multiply by the f32 reciprocal rather than divide by 127: XLA
+    # strength-reduces constant divisors to reciprocal multiplies, so this
+    # is the only form BOTH twins (numpy here, jnp in quantize_kernel_jax)
+    # compute bit-identically
+    scale = (absmax * np.float32(1.0 / 127.0)).astype(np.float32)
     scale = np.where(scale == 0, 1.0, scale)
     q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
     return q, np.squeeze(scale, axis=-2)
 
 
-def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Float param tree (lora-free) -> int8-serving tree matching
-    Runtime(weights_int8=True) param shapes."""
+def _quantize_tree(params: Dict[str, Any], qfn) -> Dict[str, Any]:
+    """Shared tree transform of quantize_params / quantize_params_jax:
+    every Dense kernel node gets kernel -> (kernel_q, kernel_scale) via
+    ``qfn``; everything else passes through."""
 
-    def rec(node, path):
+    def rec(node):
         if not isinstance(node, dict):
             return node
         if "kernel" in node and not isinstance(node["kernel"], dict):
-            kernel = np.asarray(node["kernel"])
+            kernel = node["kernel"]
             # 2D = Dense, 3D = scanned Dense stack; 4D convs (patch embed)
             # stay float (tiny, and nn.Conv expects a float kernel).
-            if kernel.ndim in (2, 3):
+            if np.ndim(kernel) in (2, 3):
                 assert "lora_a" not in node, "merge LoRA before quantizing"
-                q, scale = quantize_kernel(kernel)
+                q, scale = qfn(kernel)
                 out = {k: v for k, v in node.items() if k != "kernel"}
                 out["kernel_q"] = q
                 out["kernel_scale"] = scale
                 return out
-        return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return {k: rec(v) for k, v in node.items()}
 
-    return rec(params, ())
+    return rec(params)
+
+
+def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Float param tree (lora-free) -> int8-serving tree matching
+    Runtime(weights_int8=True) param shapes. Host-side (numpy) — use for
+    checkpoint conversion; for live device trees prefer
+    :func:`quantize_params_jax`."""
+    return _quantize_tree(params, lambda k: quantize_kernel(np.asarray(k)))
+
+
+def quantize_kernel_jax(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side twin of :func:`quantize_kernel` — identical f32 math
+    in jnp (elementwise ops are IEEE-exact on TPU; only matmuls run at
+    reduced precision, and there are none here)."""
+    k = kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(k), axis=-2, keepdims=True)  # over `in`
+    scale = absmax * np.float32(1.0 / 127.0)  # see quantize_kernel
+    scale = jnp.where(scale == 0, jnp.float32(1.0), scale)
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scale, axis=-2)
+
+
+def quantize_params_jax(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-side :func:`quantize_params`: same tree transform, jnp leaf
+    math — jit-safe, eval_shape-safe, and sharding-transparent.
+
+    Through the axon tunnel, ``quantize_params(jax.device_get(tree))`` on
+    the flagship's frozen base moves ~3.6 GB host<->device and was the
+    dominant cost of int8-base train startup (it pushed bench.py's
+    train_int8 phase past its 900 s cap, r5); jitted on device the same
+    transform is one elementwise pass over HBM. Exactness vs the numpy
+    twin is pinned by test_quantize_params_jax_matches_numpy."""
+    return _quantize_tree(params, quantize_kernel_jax)
 
 
 def split_qstack(

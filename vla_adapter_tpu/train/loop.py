@@ -131,9 +131,12 @@ def finetune(
             frozen,
         )
     if rt.train_base_int8:
-        from vla_adapter_tpu.models.quantize import quantize_params
+        from vla_adapter_tpu.models.quantize import quantize_params_jax
 
-        frozen = quantize_params(jax.device_get(frozen))
+        # on device: the host twin (quantize_params(jax.device_get(...)))
+        # round-trips the full frozen base through the host — minutes on
+        # a tunneled chip (BREAKDOWN.md r5)
+        frozen = jax.jit(quantize_params_jax)(frozen)
     state = TrainState(
         step=state.step,
         trainable=shard_params(state.trainable, mesh),
