@@ -46,6 +46,13 @@ def test_all_cli_configs_parse():
         ["--train.remat_policy_overrides", "vit:nothing,head:nothing"])
     assert cfg.train.remat_policy_overrides == (
         ("vit", "nothing"), ("head", "nothing"))
+    # the HBM-traffic train levers parse as nested Optional[str] flags
+    cfg = parse_config(
+        FinetuneCLIConfig,
+        ["--train.optim.moments_dtype", "bfloat16",
+         "--train.accum_dtype", "bfloat16"])
+    assert cfg.train.optim.moments_dtype == "bfloat16"
+    assert cfg.train.accum_dtype == "bfloat16"
     with pytest.raises(KeyError):
         parse_config(DeployConfig, ["--prot", "1"])
     # malformed pair elements fail AT PARSE TIME with a pointer to the

@@ -505,3 +505,88 @@ def test_base_int8_loss_curve_matches_float(tmp_path):
     # no divergence anywhere along the curve
     worst = max(abs(a - b) / max(b, 1e-6) for a, b in zip(q8, f32))
     assert worst < 0.35, worst
+
+
+def test_stored_moments_f32_is_bitwise_optax_adamw():
+    """scale_by_adam_stored (train/optim.py) with float32 storage must
+    reproduce optax.adamw exactly — the knob then isolates the STORAGE
+    dtype as the only difference in the bf16 configuration."""
+    import dataclasses as _dc
+
+    import optax
+
+    from vla_adapter_tpu.train.optim import make_optimizer
+
+    ocfg = OptimizerConfig(learning_rate=3e-3, weight_decay=0.01,
+                           max_steps=100, num_steps_before_decay=50)
+    tx_ref = make_optimizer(ocfg, warmup_steps=10)
+    tx_f32 = make_optimizer(_dc.replace(ocfg, moments_dtype="float32"),
+                            warmup_steps=10)
+
+    rng = np.random.default_rng(3)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(8, 16)), jnp.float32),
+        "b": {"kernel": jnp.asarray(rng.normal(size=(16, 4)), jnp.float32),
+              "bias": jnp.zeros((4,), jnp.float32)},
+    }
+    s_ref, s_f32 = tx_ref.init(params), tx_f32.init(params)
+    p_ref, p_f32 = params, params
+    for i in range(7):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(100 + i).normal(size=p.shape),
+                jnp.float32) * (1.0 + p * 0), p_ref)
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        u_f32, s_f32 = tx_f32.update(grads, s_f32, p_f32)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_f32 = optax.apply_updates(p_f32, u_f32)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_ref)[0],
+            jax.tree_util.tree_flatten_with_path(p_f32)[0]):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(ka))
+
+
+def test_bf16_moments_and_accum_loss_curve_matches_f32(tmp_path):
+    """The HBM-traffic train levers (OptimizerConfig.moments_dtype /
+    TrainConfig.accum_dtype = "bfloat16" — BREAKDOWN.md round-5 train
+    trace, the two parked ~15 ms levers): the DummyDataset loss curve
+    under bf16-stored Adam moments AND a bf16 accum-2 carry must track
+    the all-f32 curve — the numerics gate mirroring
+    test_base_int8_loss_curve_matches_float."""
+    import dataclasses as _dc
+    import json as _json
+
+    from vla_adapter_tpu.train.loop import finetune
+
+    steps = 120
+    cfg = TrainConfig(
+        model=TINY_CFG,
+        optim=OptimizerConfig(learning_rate=1e-3, max_steps=steps,
+                              num_steps_before_decay=10_000),
+        batch_size=4, grad_accumulation_steps=2, data_axis=2,
+        save_freq=100_000, log_freq=1, remat_llm=False,
+        run_root_dir=str(tmp_path / "f32"),
+    )
+    cfg_b = cfg.replace(
+        optim=_dc.replace(cfg.optim, moments_dtype="bfloat16"),
+        accum_dtype="bfloat16")
+    rt = Runtime(dtype=jnp.float32, param_dtype=jnp.float32,
+                 attn_impl="xla", lora_rank=2, lora_scale=2.0)
+
+    def curve(run_root, c):
+        finetune(c.replace(run_root_dir=run_root), rt=rt)
+        run_dir = next(iter(__import__("pathlib").Path(run_root).iterdir()))
+        rows = [_json.loads(l) for l in
+                (run_dir / "metrics.jsonl").read_text().splitlines()]
+        return [r["loss"] for r in rows]
+
+    f32 = curve(str(tmp_path / "f32"), cfg)
+    b16 = curve(str(tmp_path / "b16"), cfg_b)
+    assert len(f32) == len(b16) == steps
+    assert f32[-1] < 0.7 * f32[0] and b16[-1] < 0.7 * b16[0], (f32[-1], b16[-1])
+    rel_final = abs(b16[-1] - f32[-1]) / f32[-1]
+    assert rel_final < 0.15, (f32[-1], b16[-1])
+    worst = max(abs(a - b) / max(b, 1e-6) for a, b in zip(b16, f32))
+    assert worst < 0.35, worst

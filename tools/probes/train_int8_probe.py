@@ -36,12 +36,18 @@ from vla_adapter_tpu.train.partition import split_trainable  # noqa: E402
 from vla_adapter_tpu.train.step import TrainState, make_train_step  # noqa: E402
 
 
-def train_step_time(overhead, base_int8, accum=2, batch_size=8):
+def train_step_time(overhead, base_int8, accum=2, batch_size=8,
+                    moments_dtype=None, accum_dtype=None):
+    import dataclasses as _dc
     import gc
 
     tcfg = TrainConfig(batch_size=batch_size,
                        grad_accumulation_steps=accum,
-                       base_int8=base_int8)
+                       base_int8=base_int8,
+                       accum_dtype=accum_dtype)
+    if moments_dtype is not None:
+        tcfg = tcfg.replace(optim=_dc.replace(tcfg.optim,
+                                              moments_dtype=moments_dtype))
     rt = build_runtime(tcfg)
     model = VLAModel(tcfg.model, rt)
     tx = make_optimizer(tcfg.optim)
@@ -105,6 +111,23 @@ def main():
     _bench.check_device_reachable()  # fail fast if the tunnel is wedged
     overhead = measure_dispatch_overhead()
     print(f"dispatch overhead {overhead*1e3:.1f} ms", flush=True)
+    if "--ab-moments" in _sys.argv:
+        # HBM-traffic levers on the SHIPPED recipe (int8 base, accum 2):
+        # bf16-stored Adam moments and/or a bf16 accum carry
+        # (BREAKDOWN.md round-5 train trace). Interleaved trials so
+        # session-level chip/tunnel drift cancels.
+        arms = [("f32 moments, f32 carry (shipped)", None, None),
+                ("bf16 moments", "bfloat16", None),
+                ("bf16 carry", None, "bfloat16"),
+                ("bf16 moments + carry", "bfloat16", "bfloat16")]
+        for trial in range(2):
+            for name, md, ad in arms:
+                t = train_step_time(overhead, True, accum=2,
+                                    moments_dtype=md, accum_dtype=ad)
+                msg = (f"{t:.4f} s/step ({8 / t:.2f} samples/s)"
+                       if isinstance(t, float) else t)
+                print(f"trial {trial} | {name:34s} {msg}", flush=True)
+        return
     rows = [("bf16 base (default)", False, 2),
             ("int8 base (w8a8+STE)", True, 2),
             ("int8 base accum1", True, 1)]

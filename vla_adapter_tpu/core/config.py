@@ -335,6 +335,11 @@ class OptimizerConfig:
     decay_factor: float = 0.1
     grad_clip_norm: Optional[float] = None
     max_steps: int = 200_005
+    # Storage dtype for the Adam moments ("bfloat16" halves the mu/nu HBM
+    # traffic of the 24-block action head — train/optim.py
+    # scale_by_adam_stored; update math stays f32). None = optax.adamw
+    # unchanged. Numerics gated by the bf16-moments loss-curve test.
+    moments_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -388,6 +393,11 @@ class TrainConfig:
     # needs real weights); the LoRA experiment recipes enable it
     # (core/experiments.py to_train_config).
     base_int8: bool = False
+    # Storage dtype of the grad-accumulation scan carry ("bfloat16" halves
+    # the carry's read+write per microbatch — train/step.py; grads are
+    # restored to f32 before the optimizer). With accum=2 this is a single
+    # bf16 rounding of g1 before the g1+g2 add. None = f32 carry.
+    accum_dtype: Optional[str] = None
     save_freq: int = 10_000
     save_latest_checkpoint_only: bool = True
     run_root_dir: str = "runs"

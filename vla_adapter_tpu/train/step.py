@@ -158,6 +158,8 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
     """
     loss_fn = make_loss_fn(model, objective=getattr(cfg, "objective", "l1"))
     accum = cfg.grad_accumulation_steps
+    accum_dtype = (jnp.dtype(cfg.accum_dtype)
+                   if getattr(cfg, "accum_dtype", None) else None)
 
     def single_grads(trainable, frozen, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -177,7 +179,14 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
                     state.trainable, state.frozen, micro,
                     jax.random.fold_in(rng, i),
                 )
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                if accum_dtype is None:
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                else:
+                    # carry-dtype storage: cast the fresh microbatch grad
+                    # onto the (bf16) accumulator — halves the carry's HBM
+                    # read+write per microbatch
+                    g_acc = jax.tree.map(
+                        lambda a, x: a + x.astype(a.dtype), g_acc, g)
                 m_acc = jax.tree.map(jnp.add, m_acc, m)
                 return (g_acc, m_acc, i + 1), ps
 
@@ -185,12 +194,18 @@ def make_train_step(model: VLAModel, tx: optax.GradientTransformation,
                 single_grads, state.trainable, state.frozen,
                 jax.tree.map(lambda x: x[0], batch), rng,
             )
-            zeros_g = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), g_shape)
+            zeros_g = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, accum_dtype or s.dtype), g_shape)
             zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
             (grads, metrics, _), per_sample = jax.lax.scan(
                 scan_body, (zeros_g, zeros_m, 0), batch
             )
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            if accum_dtype is None:
+                grads = jax.tree.map(lambda g: g / accum, grads)
+            else:
+                # back to the true grad dtype (f32) for the optimizer math
+                grads = jax.tree.map(
+                    lambda g, s: g.astype(s.dtype) / accum, grads, g_shape)
             metrics = jax.tree.map(lambda m: m / accum, metrics)
             # per_sample keeps the batch's (accum, micro) layout — the
             # example axis stays LAST so multi-host consumers can slice
