@@ -140,10 +140,23 @@ def flops_per_chunk(cfg) -> float:
 
 
 def zeros_like_shapes(shapes):
+    """Zero param tree built in ONE device computation. The naive per-leaf
+    jnp.zeros costs one tunnel dispatch (~30 ms) per leaf — hundreds of
+    leaves ≈ tens of seconds of pure RTT per phase (r5 phase-wall
+    breakdown); a single jitted tree build is one dispatch."""
     import jax
     import jax.numpy as jnp
 
-    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+
+
+def _stage(t0, what):
+    """Coarse phase-stage timing on stderr (kept out of the JSON): the
+    driver's budget planning needs to know WHERE phase walls go."""
+    t1 = time.time()
+    print(f"[stage] {what}: {t1 - t0:.1f}s", file=sys.stderr, flush=True)
+    return t1
 
 
 def timed_calls(fn, args_sets, warm_args):
@@ -186,13 +199,15 @@ def bench_forward(model, cfg, batch, k_chain, iters, overhead, int8=False):
         jnp.bfloat16,
     )
 
-    params = zeros_like_shapes(jax.eval_shape(
+    t = time.time()
+    params = jax.block_until_ready(zeros_like_shapes(jax.eval_shape(
         lambda: model.init(
             jax.random.key(0), input_ids=ids, prompt_len=prompt_len,
             text_valid=valid, pixel_values=pixels,
             proprio=jnp.zeros((batch, cfg.constants.proprio_dim), jnp.float32),
         )
-    ))
+    )))
+    t = _stage(t, "zero params (one dispatch)")
 
     @jax.jit
     def chain(params, eps, proprios):
@@ -217,7 +232,12 @@ def bench_forward(model, cfg, batch, k_chain, iters, overhead, int8=False):
         )
 
     args_sets = [fresh(i) for i in range(iters)]
-    wall = timed_calls(chain, args_sets, fresh(-1))
+    np.asarray(chain(*fresh(-1)))  # compile + warm
+    t = _stage(t, "chain compile+warm")
+    # warm_args stay distinct from args_sets: identical inputs would hit
+    # the relay's execution memoization and fake a ~0.1 ms forward
+    wall = timed_calls(chain, args_sets, fresh(-2))
+    _stage(t, f"measurement ({iters} chains of k={k_chain})")
     return max(wall - overhead, 1e-9) / k_chain
 
 
@@ -267,19 +287,26 @@ def bench_train_step(overhead, base_int8=False):
             proprio=example.get("proprio"), train=True,
         )["params"]
     )
-    params = zeros_like_shapes(shapes)
-    trainable, frozen = split_trainable(params, lora_enabled=True)
-    frozen = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
-    if base_int8:
-        from vla_adapter_tpu.models.quantize import quantize_params_jax
+    from vla_adapter_tpu.models.quantize import quantize_params_jax
 
-        # on device: the host twin round-trips ~3.6 GB through the tunnel
-        # and blew the phase's 900 s cap (r5 warm run)
-        frozen = jax.jit(quantize_params_jax)(frozen)
-    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
-                       frozen=frozen, opt_state=tx.init(trainable))
+    # ONE device computation for the whole state: per-leaf zeros/astype/
+    # tx.init each cost a ~30 ms tunnel dispatch; over ~1400 leaves that
+    # was most of a minute of pure RTT per train phase (r5 stage timing)
+    @jax.jit
+    def build_state():
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        trainable, frozen = split_trainable(params, lora_enabled=True)
+        frozen = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
+        if base_int8:
+            frozen = quantize_params_jax(frozen)
+        return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                          frozen=frozen, opt_state=tx.init(trainable))
+
+    t = time.time()
+    state = jax.block_until_ready(build_state())
+    t = _stage(t, "train state build (zeros+quantize+opt init, one dispatch)")
     # donate the state: the optimizer update reuses its buffers in place,
     # halving peak HBM (old+new trainable/opt would otherwise coexist)
     step = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=0)
@@ -294,6 +321,7 @@ def bench_train_step(overhead, base_int8=False):
         return b, jax.random.key(3000 + i)
 
     state, _ = step(state, *fresh(-1))  # compile + warm
+    t = _stage(t, "train step compile+warm")
     walls = []
     for i in range(5):
         b, k = fresh(i)
@@ -301,6 +329,7 @@ def bench_train_step(overhead, base_int8=False):
         state, metrics = step(state, b, k)  # rebind: state is donated
         float(metrics["loss"])
         walls.append(time.time() - t0)
+    _stage(t, "train measurement (5 steps)")
     return max(float(np.median(walls)) - overhead, 1e-9)
 
 
@@ -325,19 +354,30 @@ SERVE_PHASES = {
     "w8a8_fused_b4": dict(batch=4, act_int8=True, w8a8_impl="fused"),
 }
 
-# (phase key, entry-floor seconds). Order = priority.
+# Research/comparability rows, grouped into ONE subprocess: backend init
+# through the tunnel costs ~300 s per process (r5 stage timing — it
+# dwarfs every other phase cost), so low-priority rows amortize it. A
+# failure inside one row is caught per-row; a wedged row costs the rows
+# after it — acceptable at this priority tier.
+RESEARCH_KEYS = [
+    "w8a8_b1",         # crossover check: xla at b1
+    "w8a8_fused_b2",   # crossover check: fused at b2
+    "bf16_b1",         # bf16 latency row
+    "bf16_b16",        # bf16 throughput row
+    "int8_b16",        # weight-only int8 row
+    "w8a8_b16",        # w8a8 large-batch row
+    "w8a8_fused_b4",   # crossover confirm: fused loses at b4
+]
+
+# (phase key, entry-floor seconds). Order = priority. The four headline
+# phases stay in their own subprocesses (isolation for the rows that
+# matter); the research tier shares one.
 PHASE_ORDER = [
     ("w8a8_fused_b1", 120),   # auto backend @ b1 (shipped default, latency)
     ("w8a8_b2", 120),         # auto backend @ b2 (per-chip throughput peak)
     ("train_int8", 240),      # shipped LoRA-recipe default (int8 base)
     ("train_bf16", 240),      # bf16-base row (r01–r03 comparability)
-    ("w8a8_b1", 120),         # crossover check: xla at b1
-    ("w8a8_fused_b2", 120),   # crossover check: fused at b2
-    ("bf16_b1", 120),         # bf16 latency row
-    ("bf16_b16", 150),        # bf16 throughput row
-    ("int8_b16", 150),        # weight-only int8 row
-    ("w8a8_b16", 150),        # w8a8 large-batch row
-    ("w8a8_fused_b4", 120),   # crossover confirm: fused loses at b4
+    ("research", 330),        # all RESEARCH_KEYS, one process
 ]
 
 # extra-dict key each serving phase's row lands under (bf16 rows are
@@ -352,13 +392,37 @@ SERVE_EXTRA_KEY = {
     "w8a8_fused_b4": "w8a8_batch4_fused_mlp",
 }
 def run_phase(key: str) -> dict:
-    """Execute ONE phase on the device; return its JSON fragment."""
+    """Execute ONE phase on the device; return its JSON fragment. The
+    "research" pseudo-key runs every RESEARCH_KEYS serving config in this
+    single process (per-row try/except) and returns a combined fragment."""
+    t = time.time()
     _jax_setup()
     overhead = measure_dispatch_overhead()
+    _stage(t, "backend init + dispatch-overhead probe")
     if key.startswith("train_"):
         s = bench_train_step(overhead, base_int8=(key == "train_int8"))
         return {"phase": key, "train_s": round(s, 4), "overhead": overhead}
+    if key == "research":
+        import gc
 
+        import jax
+
+        out: dict = {}
+        for k in RESEARCH_KEYS:
+            t = time.time()
+            try:
+                out[k] = _serve_one(k, overhead)
+            except Exception as e:  # noqa: BLE001 — one row must not kill the tier
+                out[k] = {"phase": k,
+                          "error": f"{type(e).__name__}: {str(e)[:200]}"}
+            t = _stage(t, f"research row {k}")
+            gc.collect()
+            jax.clear_caches()  # free each config's HBM before the next
+        return {"phase": "research", "frags": out, "overhead": overhead}
+    return _serve_one(key, overhead)
+
+
+def _serve_one(key: str, overhead: float) -> dict:
     import jax.numpy as jnp
 
     from vla_adapter_tpu.core.config import VLAConfig
@@ -397,7 +461,7 @@ def run_phase(key: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def check_device_reachable(timeout_s: float) -> str | None:
+def check_device_reachable(timeout_s: float = 600.0) -> str | None:
     """Bounded probe: jax.devices() against a wedged tunnel blocks forever
     with no interruptible handle; probing in a killable subprocess converts
     an infinite hang into a bounded, machine-readable failure. Observed:
@@ -448,6 +512,9 @@ def _run_child(key: str, timeout_s: float) -> tuple[dict | None, str]:
         raise
     finally:
         _current_child = None
+    for line in (err or "").splitlines():
+        if line.startswith("[stage]"):
+            print(f"[{key}] {line}", file=sys.stderr, flush=True)
     for line in reversed(out.strip().splitlines()):
         try:
             frag = json.loads(line)
@@ -457,6 +524,22 @@ def _run_child(key: str, timeout_s: float) -> tuple[dict | None, str]:
             return frag, "done"
     tail = (err or out or "")[-300:]
     return None, f"rc={rc}: {tail}"
+
+
+def merge_research_frag(frag: dict, frags: dict, entry: dict) -> None:
+    """Unpack the grouped research tier's combined fragment into per-row
+    fragments (the shape assemble_record consumes) and annotate the phase
+    log entry. Pure — unit-tested with synthetic partial failures."""
+    errors = {}
+    for k, f in frag["frags"].items():
+        if isinstance(f, dict) and "error" not in f:
+            frags[k] = f
+        else:
+            errors[k] = (f or {}).get("error", "no fragment")
+    entry["rows_done"] = sorted(k for k in frag["frags"] if k in frags)
+    if errors:
+        entry["row_errors"] = errors
+        entry["status"] = "partial"
 
 
 def assemble_record(frags: dict[str, dict], phase_log: list[dict],
@@ -592,34 +675,38 @@ def main():
     phase_log: list[dict] = []
     probe_error = None
     try:
-        probe_error = check_device_reachable(
-            timeout_s=min(600.0, max(60.0, budget_s / 3)))
-        if probe_error is None:
-            for key, est_s in PHASE_ORDER:
-                remaining = budget_s - (time.time() - t0) - reserve_s
-                if skip_train and key.startswith("train_"):
-                    phase_log.append({"phase": key, "status": "skipped",
-                                      "reason": "BENCH_SKIP_TRAIN=1"})
-                    continue
-                if remaining < est_s:
-                    phase_log.append({
-                        "phase": key, "status": "skipped",
-                        "reason": (f"budget: {remaining:.0f}s left < "
-                                   f"{est_s}s entry floor")})
-                    continue
-                t_p = time.time()
-                frag, status = _run_child(
-                    key, timeout_s=min(phase_cap_s, remaining))
-                entry = {"phase": key, "status":
-                         "done" if frag else
-                         ("timeout" if status.startswith("timeout")
-                          else "error"),
-                         "wall_s": round(time.time() - t_p, 1)}
-                if frag is None:
-                    entry["reason"] = status
-                else:
-                    frags[key] = frag
-                phase_log.append(entry)
+        # No standalone reachability probe: backend init through the
+        # tunnel costs ~300-450 s (r5 stage timing), so a probe is a whole
+        # extra init — a third of the budget. A dead tunnel is bounded the
+        # same way either path: phases time out and the partial record
+        # still emits. (check_device_reachable stays for the probes.)
+        for key, est_s in PHASE_ORDER:
+            remaining = budget_s - (time.time() - t0) - reserve_s
+            if skip_train and key.startswith("train_"):
+                phase_log.append({"phase": key, "status": "skipped",
+                                  "reason": "BENCH_SKIP_TRAIN=1"})
+                continue
+            if remaining < est_s:
+                phase_log.append({
+                    "phase": key, "status": "skipped",
+                    "reason": (f"budget: {remaining:.0f}s left < "
+                               f"{est_s}s entry floor")})
+                continue
+            t_p = time.time()
+            frag, status = _run_child(
+                key, timeout_s=min(phase_cap_s, remaining))
+            entry = {"phase": key, "status":
+                     "done" if frag else
+                     ("timeout" if status.startswith("timeout")
+                      else "error"),
+                     "wall_s": round(time.time() - t_p, 1)}
+            if frag is None:
+                entry["reason"] = status
+            elif key == "research" and "frags" in frag:
+                merge_research_frag(frag, frags, entry)
+            else:
+                frags[key] = frag
+            phase_log.append(entry)
     except _Terminated as e:
         phase_log.append({"phase": "(orchestrator)", "status": "error",
                           "reason": f"terminated by {e} — partial "

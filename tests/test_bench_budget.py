@@ -66,11 +66,16 @@ def test_phase_registry_consistent(bench):
     keys = [k for k, _ in bench.PHASE_ORDER]
     assert len(keys) == len(set(keys))
     for k in keys:
-        assert (k in bench.SERVE_PHASES) or k.startswith("train_"), k
+        assert (k in bench.SERVE_PHASES) or k.startswith("train_") \
+            or k == "research", k
     for k in bench.SERVE_PHASES:
-        assert k in keys, f"serving phase {k} missing from PHASE_ORDER"
+        # every serving config is reachable: its own subprocess, or a row
+        # of the grouped research tier (startup amortization, r5)
+        assert k in keys or (k in bench.RESEARCH_KEYS and "research" in keys), \
+            f"serving phase {k} unreachable from PHASE_ORDER"
         if not k.startswith("bf16_"):
             assert k in bench.SERVE_EXTRA_KEY, k
+    assert not (set(bench.RESEARCH_KEYS) & set(keys))
     # headline phases lead: truncation must cost research rows, not the
     # shipped auto-backend rows (fused@b1, xla@b2) or the train defaults
     assert keys[:4] == ["w8a8_fused_b1", "w8a8_b2", "train_int8", "train_bf16"]
@@ -145,3 +150,30 @@ def test_dispatch_note_flags_crossover_drift(bench):
     # auto dispatches b1 to fused (100), but xla measured 120: drift
     assert rec["value"] == 100.0
     assert "W8A8_FUSED_MAX_BATCH" in rec["extra"]["dispatch_note"]
+
+
+def test_merge_research_frag_partial(bench, readme_tool):
+    """The grouped research tier (one subprocess for all RESEARCH_KEYS —
+    backend init through the tunnel costs ~300 s/process, r5) unpacks
+    into per-row fragments; failed rows annotate the log entry instead of
+    killing the tier."""
+    combined = {"phase": "research", "overhead": 0.028, "frags": {
+        "bf16_b1": _serve_frag("bf16_b1", 1, 81.0),
+        "w8a8_b16": {"phase": "w8a8_b16",
+                     "error": "RuntimeError: RESOURCE_EXHAUSTED"},
+        "int8_b16": None,
+    }}
+    frags = {"w8a8_fused_b1": _serve_frag(
+        "w8a8_fused_b1", 1, 118.0, "w8a8+fused_mlp")}
+    entry = {"phase": "research", "status": "done", "wall_s": 400.0}
+    bench.merge_research_frag(combined, frags, entry)
+    assert entry["status"] == "partial"
+    assert entry["rows_done"] == ["bf16_b1"]
+    assert set(entry["row_errors"]) == {"w8a8_b16", "int8_b16"}
+    assert "bf16_b1" in frags and "w8a8_b16" not in frags
+    rec = bench.assemble_record(
+        frags, [entry], 1500.0, 900.0)
+    assert rec["value"] == 118.0  # headline intact
+    assert rec["extra"]["latency_s_batch1"] == \
+        frags["bf16_b1"]["row"]["s_per_forward"]
+    assert readme_tool.usable({"n": 5, "rc": 0, "parsed": rec})
